@@ -1,0 +1,55 @@
+"""Sparse prolongation assembly: P = (I + W)[:, coarse].
+
+The reference materialises W densely to slice out the coarse columns
+(VCycle.py:126-137, DirectInterpGNN.py:228-246 — flagged there as bad
+practice for large matrices). Here P is assembled directly in sparse COO:
+
+  * every coarse point c gets a unit row: P[c, cmap[c]] = 1
+  * every fine point i gets its GNN interpolation weights on the coarse
+    columns of its off-diagonal edges: P[i, cmap[j]] = w_ij for coarse j
+
+`w_ij` comes from `gnnla_tpu.models.direct_interp.direct_interp` and is zero
+on C-point rows by construction (the (1 - C_i) factor), matching the
+reference's dense slicing exactly. Host-side setup op (pattern-changing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gnnla_tpu.ops.sparse import SparseOperator
+
+
+def assemble_prolongation(op_nodiag: SparseOperator, coarse_flags,
+                          w_ij, *, dtype=None) -> SparseOperator:
+    """Build P [n, n_coarse] sparsely from edge weights.
+
+    op_nodiag    : the diagonal-removed operator whose edges carry w_ij
+    coarse_flags : [N] 1/0 coarse markers (host array ok)
+    w_ij         : [E] interpolation weights from the DirectInterp GNN
+    """
+    dtype = dtype or op_nodiag.vals.dtype
+    coarse = np.asarray(coarse_flags).ravel().astype(bool)
+    rows = np.asarray(op_nodiag.rows)
+    cols = np.asarray(op_nodiag.cols)
+    w = np.asarray(w_ij, dtype=np.float64)
+    n = op_nodiag.n_rows
+
+    # global->coarse column map
+    cmap = np.cumsum(coarse) - 1          # valid only where coarse
+    n_coarse = int(coarse.sum())
+
+    # fine rows: edges whose column endpoint is coarse
+    keep = coarse[cols] & ~coarse[rows]
+    p_rows = rows[keep]
+    p_cols = cmap[cols[keep]]
+    p_vals = w[keep]
+
+    # coarse rows: identity
+    c_idx = np.flatnonzero(coarse)
+    p_rows = np.concatenate([p_rows, c_idx])
+    p_cols = np.concatenate([p_cols, cmap[c_idx]])
+    p_vals = np.concatenate([p_vals, np.ones(n_coarse)])
+
+    return SparseOperator.from_coo(p_rows, p_cols, p_vals, (n, n_coarse),
+                                   dtype=dtype)

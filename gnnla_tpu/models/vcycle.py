@@ -1,0 +1,123 @@
+"""Two-grid AMG V-cycle composed entirely from the GN kernels.
+
+Reference semantics: /root/reference/pytorch/VCycle.py:175-237 (and
+matlab/test_vcycle.m:329-390): Jacobi pre-smooth -> classical SOC -> C/F
+splitting -> direct-interpolation P -> Galerkin Ac = P^T A P -> restrict
+residual -> Chebyshev (or direct) coarse solve -> prolongate correction ->
+Jacobi post-smooth.
+
+Design change vs the reference (deliberate, documented): the reference
+recomputes SOC/splitting/P/Ac inside *every* cycle and escapes to dense for P
+(VCycle.py:126-137). Here AMG setup runs once on host (`setup_twogrid`) and
+returns a pytree of fixed-pattern operators; `vcycle` is then a pure jittable
+function — iterating cycles is a `lax.scan`. Numerics match the reference
+cycle because the setup artifacts are identical cycle to cycle.
+
+The reference defects catalogued in SURVEY.md §"Observed reference defects"
+(hardcoded -4 diagonal and global-N capture in runJacobi at VCycle.py:165,
+ignored n_coarsesolve at :255) are fixed: diagonals come from the operator,
+and the coarse Chebyshev degree is a real parameter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnla_tpu.amg.galerkin import galerkin_product
+from gnnla_tpu.amg.interp import assemble_prolongation
+from gnnla_tpu.amg.splitting import split
+from gnnla_tpu.models.chebyshev import chebyshev
+from gnnla_tpu.models.direct_interp import direct_interp
+from gnnla_tpu.models.jacobi import jacobi
+from gnnla_tpu.models.residual import residual
+from gnnla_tpu.models.soc import soc_classic
+from gnnla_tpu.ops.sparse import SparseOperator
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TwoGridSetup:
+    """Fixed-pattern artifacts of the AMG setup phase (a jit-able pytree)."""
+
+    A: SparseOperator
+    P: SparseOperator
+    Ac: SparseOperator
+    diag: jax.Array          # diag(A) — or a trained Jacobi diagonal
+    coarse_flags: jax.Array  # [N] 1/0
+
+
+def setup_twogrid(A: SparseOperator, *, theta: float = 0.25,
+                  splitting: str = "cljp", seed: int = 0,
+                  diag: Optional[jax.Array] = None) -> TwoGridSetup:
+    """AMG setup: SOC GNN -> C/F split -> DirectInterp GNN -> Galerkin.
+
+    Mirrors runSOC/runDirectInterp/the Galerkin product of VCycle.py:72-137,
+    209, with P kept sparse. `diag` optionally substitutes a trained Jacobi
+    diagonal for the smoother (train_jacobi model family).
+    """
+    import scipy.sparse as sp
+
+    A_nodiag = A.remove_diagonal()
+    a_diag = A.diagonal() if diag is None else jnp.ravel(diag)
+
+    # strength of connection (device GNN) -> boolean strength pattern
+    s_ij = soc_classic(A_nodiag, theta)
+    strong = np.asarray(s_ij) > 0
+
+    S_host = sp.coo_matrix(
+        (strong.astype(np.float64),
+         (np.asarray(A_nodiag.rows), np.asarray(A_nodiag.cols))),
+        shape=A.shape).tocsr()
+    coarse = split(S_host, method=splitting, seed=seed)
+
+    # direct interpolation (device GNN) -> sparse P (host assembly)
+    w_ij = direct_interp(A_nodiag, A.diagonal(),
+                         jnp.asarray(coarse, dtype=A.vals.dtype),
+                         jnp.asarray(strong, dtype=A.vals.dtype))
+    P = assemble_prolongation(A_nodiag, coarse, np.asarray(w_ij),
+                              dtype=A.vals.dtype)
+    Ac = galerkin_product(A, P)
+
+    return TwoGridSetup(A=A, P=P, Ac=Ac, diag=a_diag,
+                        coarse_flags=jnp.asarray(coarse))
+
+
+def vcycle(setup: TwoGridSetup, b, x, *, n_pre: int = 3, n_post: int = 3,
+           omega: float = 0.7, coarse_deg: int = 4, coarse_c: float = -3.4,
+           coarse_d: float = -4.0) -> jnp.ndarray:
+    """One two-grid cycle (pure function of the setup pytree — jit me).
+
+    Parameter defaults reproduce the reference driver (VCycle.py:251-272):
+    w=0.7 Jacobi smoothing, degree-4 Chebyshev coarse solve with c=-3.4,
+    d=-4.0.
+    """
+    A, P, Ac = setup.A, setup.P, setup.Ac
+    b, x = jnp.ravel(b), jnp.ravel(x)
+
+    x = jacobi(A, b, x, omega=omega, n_iters=n_pre, diag=setup.diag)
+
+    r = residual(A, b, x)
+    rc = P.rmatvec(r)                     # P^T r, no transpose materialised
+    xc = jnp.zeros_like(rc)
+    xc = chebyshev(Ac, rc, xc, c=coarse_c, d=coarse_d, deg=coarse_deg)
+    x = x + P.matvec(xc)
+
+    x = jacobi(A, b, x, omega=omega, n_iters=n_post, diag=setup.diag)
+    return x
+
+
+def solve(setup: TwoGridSetup, b, x, *, n_cycles: int,
+          **cycle_kwargs) -> jnp.ndarray:
+    """Run n_cycles V-cycles under `lax.scan` (one compiled program)."""
+    b, x = jnp.ravel(b), jnp.ravel(x)
+
+    def step(x, _):
+        return vcycle(setup, b, x, **cycle_kwargs), None
+
+    x, _ = jax.lax.scan(step, x, None, length=n_cycles)
+    return x

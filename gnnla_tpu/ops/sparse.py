@@ -1,0 +1,203 @@
+"""HBM-resident sparse operators as JAX pytrees.
+
+The reference stores matrices as torch sparse COO tensors and edge lists
+(/root/reference/pytorch/UtilsGNN.py:53-78, TrainableJacobiDiag/Data.py:216-283).
+Here the matrix *is* the graph: a `SparseOperator` is a registered pytree of
+device arrays (rows, cols, vals) sorted by row, with static shape metadata, so
+it can flow through `jit`, `grad`, `vmap` and `shard_map` unchanged.
+
+Key choices for TPU:
+  * row-sorted COO is the canonical layout — segment reductions over the row
+    index become linear scans (`indices_are_sorted=True`),
+  * a CSR row-pointer array is carried alongside for kernels that need it
+    (Pallas ELL conversion, partitioning),
+  * construction/coalescing happens on host in numpy (setup phase); everything
+    after construction is pure JAX,
+  * SpMV is `gather -> multiply -> segment_sum`, which XLA fuses into a single
+    scatter-add pass; `ops.pallas_spmv` provides the hand-fused ELL fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnla_tpu.ops.segment import segment_sum
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseOperator:
+    """Square (or rectangular) sparse matrix in row-sorted COO + row pointers.
+
+    rows, cols : int32 [nnz]    row/col index per nonzero (sorted by row, then col)
+    vals       : float  [nnz]   nonzero values
+    row_ptr    : int32 [n_rows+1] CSR offsets (derived, carried for kernels)
+    shape      : static (n_rows, n_cols)
+    """
+
+    rows: Array
+    cols: Array
+    vals: Array
+    row_ptr: Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+    # ---------------------------------------------------------------- alias
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nnz(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def senders(self) -> Array:
+        """Graph view: edge (i, j) aggregates into vertex i (the row)."""
+        return self.rows
+
+    @property
+    def receivers(self) -> Array:
+        """Graph view: edge (i, j) reads features of vertex j (the column)."""
+        return self.cols
+
+    # ---------------------------------------------------------- construction
+    @staticmethod
+    def from_coo(rows, cols, vals, shape, *, dtype=jnp.float32,
+                 coalesce: bool = True) -> "SparseOperator":
+        """Build from host COO triplets (numpy or lists). Sorts by (row, col)
+        and sums duplicates, mirroring torch's `coalesce`
+        (reference UtilsGNN.py:74-78)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
+        if coalesce:
+            # lexsort by (row, col); merge duplicates by summation
+            key = rows * shape[1] + cols
+            order = np.argsort(key, kind="stable")
+            key, rows, cols, vals = key[order], rows[order], cols[order], vals[order]
+            uniq, inverse = np.unique(key, return_inverse=True)
+            summed = np.zeros(uniq.shape[0], dtype=np.float64)
+            np.add.at(summed, inverse, vals)
+            rows = (uniq // shape[1])
+            cols = (uniq % shape[1])
+            vals = summed
+        row_ptr = np.zeros(shape[0] + 1, dtype=np.int64)
+        np.add.at(row_ptr, rows + 1, 1)
+        row_ptr = np.cumsum(row_ptr)
+        return SparseOperator(
+            rows=jnp.asarray(rows, dtype=jnp.int32),
+            cols=jnp.asarray(cols, dtype=jnp.int32),
+            vals=jnp.asarray(vals, dtype=dtype),
+            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
+            shape=(int(shape[0]), int(shape[1])),
+        )
+
+    @staticmethod
+    def from_scipy(A, *, dtype=jnp.float32) -> "SparseOperator":
+        coo = A.tocoo()
+        return SparseOperator.from_coo(coo.row, coo.col, coo.data, coo.shape,
+                                       dtype=dtype)
+
+    @staticmethod
+    def from_dense(A, *, dtype=jnp.float32, tol: float = 0.0) -> "SparseOperator":
+        A = np.asarray(A)
+        rows, cols = np.nonzero(np.abs(A) > tol)
+        return SparseOperator.from_coo(rows, cols, A[rows, cols], A.shape,
+                                       dtype=dtype)
+
+    # ------------------------------------------------------------- export
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.coo_matrix(
+            (np.asarray(self.vals, dtype=np.float64),
+             (np.asarray(self.rows), np.asarray(self.cols))),
+            shape=self.shape).tocsr()
+
+    def to_dense(self) -> Array:
+        out = jnp.zeros(self.shape, dtype=self.vals.dtype)
+        return out.at[self.rows, self.cols].add(self.vals)
+
+    # ------------------------------------------------------------- algebra
+    def matvec(self, x: Array) -> Array:
+        """y = A @ x for x of shape [n_cols] or [n_cols, K].
+
+        The GN-block reading: edge update c_ij = A_ij * x_j followed by the
+        row-wise segment-sum aggregation (reference MatVecGNN.py:43-84).
+        """
+        if x.shape[0] != self.n_cols:
+            raise ValueError(
+                f"matvec: x has leading dim {x.shape[0]}, operator expects "
+                f"{self.n_cols} (shape {self.shape})")
+        gathered = x[self.cols]          # [nnz] or [nnz, K]
+        if gathered.ndim > 1:
+            products = gathered * self.vals[:, None]
+        else:
+            products = gathered * self.vals
+        return segment_sum(products, self.rows, self.n_rows, sorted=True)
+
+    def __matmul__(self, x: Array) -> Array:
+        return self.matvec(x)
+
+    def rmatvec(self, y: Array) -> Array:
+        """x = A^T @ y without materialising the transpose (scatter by cols)."""
+        if y.shape[0] != self.n_rows:
+            raise ValueError(
+                f"rmatvec: y has leading dim {y.shape[0]}, operator expects "
+                f"{self.n_rows} (shape {self.shape})")
+        gathered = y[self.rows]
+        if gathered.ndim > 1:
+            products = gathered * self.vals[:, None]
+        else:
+            products = gathered * self.vals
+        return segment_sum(products, self.cols, self.n_cols, sorted=False)
+
+    def diagonal(self) -> Array:
+        """Dense diagonal vector (zeros where the diagonal is not stored)."""
+        n = min(self.shape)
+        is_diag = self.rows == self.cols
+        contrib = jnp.where(is_diag, self.vals, jnp.zeros_like(self.vals))
+        idx = jnp.where(is_diag, self.rows, jnp.zeros_like(self.rows))
+        # scatter-add: off-diag entries all land on row 0 with value 0
+        return jnp.zeros((n,), self.vals.dtype).at[idx].add(contrib)
+
+    def with_values(self, vals: Array) -> "SparseOperator":
+        """Same sparsity pattern, new values (a 'pattern view' update)."""
+        return dataclasses.replace(self, vals=vals)
+
+    def scale(self, s) -> "SparseOperator":
+        return self.with_values(self.vals * s)
+
+    # ------------------------------------------------------- pattern views
+    def remove_diagonal(self) -> "SparseOperator":
+        """Return the operator restricted to off-diagonal entries.
+
+        SOC and direct interpolation operate on the diagonal-removed pattern
+        (reference UtilsGNN.py:69-72, VCycle.py:80,97). Host-side: changes nnz,
+        so this is a setup-phase op.
+        """
+        rows = np.asarray(self.rows)
+        cols = np.asarray(self.cols)
+        vals = np.asarray(self.vals, dtype=np.float64)
+        keep = rows != cols
+        return SparseOperator.from_coo(rows[keep], cols[keep], vals[keep],
+                                       self.shape, dtype=self.vals.dtype,
+                                       coalesce=False)
+
+    def transpose(self) -> "SparseOperator":
+        """A^T with re-sorted row-major layout (host-side setup op)."""
+        return SparseOperator.from_coo(
+            np.asarray(self.cols), np.asarray(self.rows),
+            np.asarray(self.vals, dtype=np.float64),
+            (self.shape[1], self.shape[0]), dtype=self.vals.dtype,
+            coalesce=True)
