@@ -30,8 +30,7 @@ def assemble_prolongation(op_nodiag: SparseOperator, coarse_flags,
     """
     dtype = dtype or op_nodiag.vals.dtype
     coarse = np.asarray(coarse_flags).ravel().astype(bool)
-    rows = np.asarray(op_nodiag.rows)
-    cols = np.asarray(op_nodiag.cols)
+    rows, cols, _ = op_nodiag.host_coo()
     w = np.asarray(w_ij, dtype=np.float64)
     n = op_nodiag.n_rows
 

@@ -51,36 +51,79 @@ class TwoGridSetup:
     coarse_flags: jax.Array  # [N] 1/0
 
 
+def _soc_classic_host(rows, cols, vals, n, theta):
+    """Host numpy twin of models.soc.soc_classic (same empty-row semantics:
+    max over an empty row is 0, matching the torch_scatter fill of
+    SOCClassicGNN.py:69). Returns the boolean strength mask per edge."""
+    v = np.full(n, -np.inf, dtype=np.float64)
+    np.maximum.at(v, rows, -vals)
+    v[np.isneginf(v)] = 0.0  # empty rows -> 0, like segment_max
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = -vals / v[rows] - theta
+    return np.nan_to_num(s, nan=-1.0, posinf=np.inf) > 0
+
+
+def _direct_interp_host(rows, cols, vals, diag, coarse, strong):
+    """Host numpy twin of models.direct_interp.direct_interp
+    (DirectInterpGNN.py:50-152): w_ij = (1-C_i) * (-A_ij * alpha_i),
+    alpha_i = (sum_k A_ik / sum_k A_ik S_ik C_k) / A_ii."""
+    n = diag.shape[0]
+    num = np.zeros(n, dtype=np.float64)
+    den = np.zeros(n, dtype=np.float64)
+    np.add.at(num, rows, vals)
+    np.add.at(den, rows, vals * strong * coarse[cols])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha = (num / den) / diag
+        w = (1.0 - coarse[rows]) * (-vals * alpha[rows])
+    # C-point rows contribute nothing; kill F-rows with no strong C
+    # neighbours too (the reference's Inf/NaN guard,
+    # matlab/test_direct_interpolation.m:130-132).
+    return np.nan_to_num(w, nan=0.0, posinf=0.0, neginf=0.0)
+
+
 def setup_twogrid(A: SparseOperator, *, theta: float = 0.25,
                   splitting: str = "cljp", seed: int = 0,
-                  diag: Optional[jax.Array] = None) -> TwoGridSetup:
-    """AMG setup: SOC GNN -> C/F split -> DirectInterp GNN -> Galerkin.
+                  diag: Optional[jax.Array] = None,
+                  use_device_gnn: bool = False) -> TwoGridSetup:
+    """AMG setup: SOC -> C/F split -> direct interpolation -> Galerkin.
 
     Mirrors runSOC/runDirectInterp/the Galerkin product of VCycle.py:72-137,
     209, with P kept sparse. `diag` optionally substitutes a trained Jacobi
     diagonal for the smoother (train_jacobi model family).
+
+    Setup is a host-phase computation (the reference likewise leaves the
+    tensor world for pyamg's CLJP, VCycle.py:114): by default the SOC and
+    interpolation formulas run in numpy on the cached host COO — no device
+    round-trips, which matters on tunneled TPU backends where the first
+    device->host transfer is very expensive. `use_device_gnn=True` routes
+    them through the GN-block kernels instead (tests assert both paths
+    agree).
     """
     import scipy.sparse as sp
 
     A_nodiag = A.remove_diagonal()
     a_diag = A.diagonal() if diag is None else jnp.ravel(diag)
+    rows, cols, vals = A_nodiag.host_coo()
+    diag_h = A.host_diagonal()
 
-    # strength of connection (device GNN) -> boolean strength pattern
-    s_ij = soc_classic(A_nodiag, theta)
-    strong = np.asarray(s_ij) > 0
+    if use_device_gnn:
+        strong = np.asarray(soc_classic(A_nodiag, theta)) > 0
+    else:
+        strong = _soc_classic_host(rows, cols, vals, A.n_rows, theta)
 
     S_host = sp.coo_matrix(
-        (strong.astype(np.float64),
-         (np.asarray(A_nodiag.rows), np.asarray(A_nodiag.cols))),
-        shape=A.shape).tocsr()
+        (strong.astype(np.float64), (rows, cols)), shape=A.shape).tocsr()
     coarse = split(S_host, method=splitting, seed=seed)
 
-    # direct interpolation (device GNN) -> sparse P (host assembly)
-    w_ij = direct_interp(A_nodiag, A.diagonal(),
-                         jnp.asarray(coarse, dtype=A.vals.dtype),
-                         jnp.asarray(strong, dtype=A.vals.dtype))
-    P = assemble_prolongation(A_nodiag, coarse, np.asarray(w_ij),
-                              dtype=A.vals.dtype)
+    if use_device_gnn:
+        w_ij = np.asarray(direct_interp(
+            A_nodiag, A.diagonal(), jnp.asarray(coarse, dtype=A.vals.dtype),
+            jnp.asarray(strong, dtype=A.vals.dtype)))
+    else:
+        w_ij = _direct_interp_host(rows, cols, vals, diag_h,
+                                   coarse.astype(np.float64),
+                                   strong.astype(np.float64))
+    P = assemble_prolongation(A_nodiag, coarse, w_ij, dtype=A.vals.dtype)
     Ac = galerkin_product(A, P)
 
     return TwoGridSetup(A=A, P=P, Ac=Ac, diag=a_diag,

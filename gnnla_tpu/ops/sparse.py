@@ -95,13 +95,23 @@ class SparseOperator:
         row_ptr = np.zeros(shape[0] + 1, dtype=np.int64)
         np.add.at(row_ptr, rows + 1, 1)
         row_ptr = np.cumsum(row_ptr)
-        return SparseOperator(
+        out = SparseOperator(
             rows=jnp.asarray(rows, dtype=jnp.int32),
             cols=jnp.asarray(cols, dtype=jnp.int32),
             vals=jnp.asarray(vals, dtype=dtype),
             row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
             shape=(int(shape[0]), int(shape[1])),
         )
+        # Cache the host-side COO triplets on the instance (NOT a pytree
+        # field — jit-reconstructed copies simply lack it). Host-phase ops
+        # (AMG setup, DIA conversion, scipy export) read this instead of
+        # pulling device arrays back: on the tunneled TPU backend the first
+        # device->host transfer of a process costs minutes, so the setup
+        # path must never be the one to trigger it.
+        object.__setattr__(out, "_host_coo",
+                           (rows.astype(np.int64), cols.astype(np.int64),
+                            np.asarray(vals, dtype=np.float64)))
+        return out
 
     @staticmethod
     def from_scipy(A, *, dtype=jnp.float32) -> "SparseOperator":
@@ -117,12 +127,33 @@ class SparseOperator:
                                        dtype=dtype)
 
     # ------------------------------------------------------------- export
+    def host_coo(self):
+        """(rows, cols, vals) as host numpy arrays — cached at construction.
+
+        Falls back to a device->host transfer (and re-caches) only for
+        operators that were rebuilt inside a transform.
+        """
+        h = getattr(self, "_host_coo", None)
+        if h is None:
+            h = (np.asarray(self.rows, dtype=np.int64),
+                 np.asarray(self.cols, dtype=np.int64),
+                 np.asarray(self.vals, dtype=np.float64))
+            object.__setattr__(self, "_host_coo", h)
+        return h
+
+    def host_diagonal(self) -> np.ndarray:
+        """diag(A) as a host numpy vector (setup-phase twin of diagonal())."""
+        rows, cols, vals = self.host_coo()
+        n = min(self.shape)
+        d = np.zeros(n, dtype=np.float64)
+        m = rows == cols
+        np.add.at(d, rows[m], vals[m])
+        return d
+
     def to_scipy(self):
         import scipy.sparse as sp
-        return sp.coo_matrix(
-            (np.asarray(self.vals, dtype=np.float64),
-             (np.asarray(self.rows), np.asarray(self.cols))),
-            shape=self.shape).tocsr()
+        rows, cols, vals = self.host_coo()
+        return sp.coo_matrix((vals, (rows, cols)), shape=self.shape).tocsr()
 
     def to_dense(self) -> Array:
         out = jnp.zeros(self.shape, dtype=self.vals.dtype)
@@ -186,18 +217,29 @@ class SparseOperator:
         (reference UtilsGNN.py:69-72, VCycle.py:80,97). Host-side: changes nnz,
         so this is a setup-phase op.
         """
-        rows = np.asarray(self.rows)
-        cols = np.asarray(self.cols)
-        vals = np.asarray(self.vals, dtype=np.float64)
+        rows, cols, vals = self.host_coo()
         keep = rows != cols
         return SparseOperator.from_coo(rows[keep], cols[keep], vals[keep],
                                        self.shape, dtype=self.vals.dtype,
                                        coalesce=False)
 
+    def eliminate_zeros(self, tol: float = 0.0) -> "SparseOperator":
+        """Drop stored zeros (host-side; changes the pattern).
+
+        Note the reference's Laplacian fixture *keeps* explicit zeros (scipy
+        kron emits them, UtilsGNN.py:56-60, and torch coalesce preserves
+        them), so conversions here default to preserving storage; call this
+        to get the tight pattern.
+        """
+        rows, cols, vals = self.host_coo()
+        keep = np.abs(vals) > tol
+        return SparseOperator.from_coo(
+            rows[keep], cols[keep], vals[keep], self.shape,
+            dtype=self.vals.dtype, coalesce=False)
+
     def transpose(self) -> "SparseOperator":
         """A^T with re-sorted row-major layout (host-side setup op)."""
+        rows, cols, vals = self.host_coo()
         return SparseOperator.from_coo(
-            np.asarray(self.cols), np.asarray(self.rows),
-            np.asarray(self.vals, dtype=np.float64),
-            (self.shape[1], self.shape[0]), dtype=self.vals.dtype,
-            coalesce=True)
+            cols, rows, vals, (self.shape[1], self.shape[0]),
+            dtype=self.vals.dtype, coalesce=True)

@@ -1,0 +1,241 @@
+"""Dataset generation + caching for the two learned-model families.
+
+Reference counterparts: PyG `Dataset`s that generate matrices in `download()`
+and convert in `process()`, cached under data/raw + data/processed
+(TrainableJacobiDiag/Data.py:97-206, DiffCoeffs/data.py:51-455).
+
+TPU-first redesign: FEM matrices on a fixed mesh resolution share one
+sparsity pattern, so a "batch" is NOT a PyG block-diagonal graph with a batch
+vector — it is a single pattern template (SparseOperator) plus stacked value
+arrays [B, E] / [B, N] that `vmap` maps over. Samples are bucketed by mesh
+resolution; each bucket is one stacked pytree (one XLA program per bucket).
+Caching is one .npz per bucket (the analogue of the reference's
+data/processed cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from gnnla_tpu.ops.sparse import SparseOperator
+from gnnla_tpu.problems.diffusion_fem import (alpha_beta_targets,
+                                              cosine_diffusion_matrix)
+from gnnla_tpu.problems.small_band import small_band_matrix
+
+
+@dataclasses.dataclass
+class StackedGraphs:
+    """A bucket of same-pattern graphs, stacked for vmap.
+
+    template        : full-pattern SparseOperator (vals of sample 0)
+    template_nodiag : diagonal-removed pattern template
+    vals            : [B, E_full]  full-pattern values per sample
+    offdiag_vals    : [B, E_nd]    off-diagonal values per sample
+    diags           : [B, N]       diagonal per sample
+    coords          : [B, N, 2]    vertex coordinates (None if n/a)
+    targets         : [B, N, T]    regression targets (None if n/a)
+    globals_        : [B, G]       per-graph globals (None if n/a)
+    meta            : dict of per-sample scalars (h, band_loc, thetas, ...)
+    """
+
+    template: SparseOperator
+    template_nodiag: SparseOperator
+    vals: np.ndarray
+    offdiag_vals: np.ndarray
+    diags: np.ndarray
+    coords: Optional[np.ndarray] = None
+    targets: Optional[np.ndarray] = None
+    globals_: Optional[np.ndarray] = None
+    meta: Optional[Dict[str, np.ndarray]] = None
+
+    @property
+    def n_graphs(self) -> int:
+        return self.vals.shape[0]
+
+    def dia_stack(self):
+        """(offsets, diags [B, K, N]) — the bucket in DIA form.
+
+        All FEM buckets are banded; the spectral-loss SpMMs run on this
+        gather-free layout (faster on TPU than scatter-based segment sums,
+        and it sidesteps scatter-kernel fragility on experimental backends).
+        """
+        rows, cols, _ = self.template.host_coo()
+        offs = cols - rows
+        uniq = np.unique(offs)
+        off_idx = np.searchsorted(uniq, offs)
+        n = self.template.n_rows
+        b = self.n_graphs
+        diags = np.zeros((b, uniq.size, n))
+        np.add.at(diags, (slice(None), off_idx, rows),
+                  self.vals.astype(np.float64))
+        return tuple(int(o) for o in uniq), diags
+
+    def select(self, idx) -> "StackedGraphs":
+        idx = np.asarray(idx)
+        return dataclasses.replace(
+            self,
+            vals=self.vals[idx],
+            offdiag_vals=self.offdiag_vals[idx],
+            diags=self.diags[idx],
+            coords=None if self.coords is None else self.coords[idx],
+            targets=None if self.targets is None else self.targets[idx],
+            globals_=None if self.globals_ is None else self.globals_[idx],
+            meta=None if self.meta is None else
+            {k: v[idx] for k, v in self.meta.items()},
+        )
+
+
+def _stack_from_ops(ops, diags_first=True):
+    """Split a list of same-pattern SparseOperators into template + stacks."""
+    template = ops[0]
+    nodiag = template.remove_diagonal()
+    rows0, cols0, _ = template.host_coo()
+    offmask = rows0 != cols0
+    vals = np.stack([op.host_coo()[2] for op in ops])
+    for op in ops[1:]:
+        r, c, _ = op.host_coo()
+        if not (np.array_equal(r, rows0) and np.array_equal(c, cols0)):
+            raise ValueError("bucketed samples must share one pattern")
+    offdiag_vals = vals[:, offmask]
+    diags = np.stack([op.host_diagonal() for op in ops])
+    return template, nodiag, vals, offdiag_vals, diags
+
+
+# ------------------------------------------------------------- small band
+def small_band_dataset(num_matrices: int, *, n: int = 38,
+                       h_low: float = 0.0005, seed: int = 54681,
+                       cache_dir: Optional[str] = None) -> StackedGraphs:
+    """Small-band FEM matrices at fixed resolution n (one pattern bucket).
+
+    Sampling mirrors SmallBandDataset.generate_and_save_matrix
+    (Data.py:148-163): h ~ U(h_low, 1/(2(n-2))), band_loc ~ U(0.05, 0.95).
+    The reference's default training run uses a fixed resolution too
+    (N_low=38, N_high=39 -> always 38, train.py:74).
+    """
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir, f"smallband_{num_matrices}_{n}_{h_low}_{seed}.npz")
+        if os.path.exists(cache):
+            return _load_stacked(cache)
+
+    rng = np.random.default_rng(seed)
+    ops, coords, hs, blocs = [], [], [], []
+    for _ in range(num_matrices):
+        h_high = 1.0 / (2 * (n - 2))
+        h = (h_high - h_low) * rng.random() + h_low
+        band_loc = 0.9 * rng.random() + 0.05
+        K, xy, bl = small_band_matrix(n, h, band_loc)
+        ops.append(K)
+        coords.append(xy)
+        hs.append(h)
+        blocs.append(bl)
+
+    template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
+    ds = StackedGraphs(template=template, template_nodiag=nodiag,
+                       vals=vals, offdiag_vals=offdiag_vals, diags=diags,
+                       coords=np.stack(coords),
+                       meta={"h": np.asarray(hs),
+                             "band_loc": np.asarray(blocs)})
+    if cache:
+        _save_stacked(cache, ds)
+    return ds
+
+
+# --------------------------------------------------------------- diffusion
+def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
+                             max_freq: float = 3.0, seed: int = 41,
+                             cache_dir: Optional[str] = None
+                             ) -> StackedGraphs:
+    """Cosine-diffusion FEM matrices at fixed resolution n.
+
+    Mirrors RandomCosineDiffusionDataset (data.py:137-221): thetas drawn
+    from {0, 0.5, ..., max_freq}; targets y = [alpha_i, beta_i]; global = h.
+    Edge features (built downstream) are [A_ij, rel_x, rel_y] with periodic
+    wraparound (data.py:102-127).
+    """
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir,
+            f"cosdiff_{num_matrices}_{n}_{max_freq}_{seed}.npz")
+        if os.path.exists(cache):
+            return _load_stacked(cache)
+
+    rng = np.random.default_rng(seed)
+    freqs = [0.5 * i for i in range(int(2 * max_freq) + 1)
+             if 0.5 * i <= max_freq]
+    ops, targets, thetas_all = [], [], []
+    for _ in range(num_matrices):
+        thetas = rng.choice(freqs, 4, replace=True)
+        ops.append(cosine_diffusion_matrix(tuple(thetas), n))
+        a, b = alpha_beta_targets(tuple(thetas), n)
+        targets.append(np.stack([a, b], axis=1))
+        thetas_all.append(thetas)
+
+    template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
+    h = 1.0 / n
+    ds = StackedGraphs(
+        template=template, template_nodiag=nodiag, vals=vals,
+        offdiag_vals=offdiag_vals, diags=diags,
+        targets=np.stack(targets),
+        globals_=np.full((num_matrices, 1), h),
+        meta={"thetas": np.stack(thetas_all)})
+    if cache:
+        _save_stacked(cache, ds)
+    return ds
+
+
+def periodic_rel_coords(op_nodiag: SparseOperator, n: int) -> np.ndarray:
+    """[E, 2] integer relative coordinates (col - row) with periodic wrap,
+    reference data.py:108-119 (entries of magnitude n-1 wrap to -/+1)."""
+    rows, cols, _ = op_nodiag.host_coo()
+
+    def rowcol(i):
+        return np.stack([i % n, i // n], axis=1)
+
+    rel = rowcol(cols) - rowcol(rows)
+    rel = np.where(rel == n - 1, -1, rel)
+    rel = np.where(rel == -(n - 1), 1, rel)
+    return rel.astype(np.float64)
+
+
+# ----------------------------------------------------------------- caching
+def _save_stacked(path: str, ds: StackedGraphs) -> None:
+    payload = dict(
+        t_rows=ds.template.host_coo()[0],
+        t_cols=ds.template.host_coo()[1],
+        t_shape=np.asarray(ds.template.shape),
+        vals=ds.vals, offdiag_vals=ds.offdiag_vals, diags=ds.diags)
+    if ds.coords is not None:
+        payload["coords"] = ds.coords
+    if ds.targets is not None:
+        payload["targets"] = ds.targets
+    if ds.globals_ is not None:
+        payload["globals"] = ds.globals_
+    if ds.meta:
+        for k, v in ds.meta.items():
+            payload[f"meta_{k}"] = v
+    np.savez_compressed(path, **payload)
+
+
+def _load_stacked(path: str) -> StackedGraphs:
+    z = np.load(path)
+    shape = tuple(int(s) for s in z["t_shape"])
+    template = SparseOperator.from_coo(z["t_rows"], z["t_cols"],
+                                       z["vals"][0], shape, coalesce=False)
+    meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+    return StackedGraphs(
+        template=template,
+        template_nodiag=template.remove_diagonal(),
+        vals=z["vals"], offdiag_vals=z["offdiag_vals"], diags=z["diags"],
+        coords=z["coords"] if "coords" in z.files else None,
+        targets=z["targets"] if "targets" in z.files else None,
+        globals_=z["globals"] if "globals" in z.files else None,
+        meta=meta or None)

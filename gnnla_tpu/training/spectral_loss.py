@@ -1,0 +1,138 @@
+"""Differentiable spectral (damping-factor) loss for the trainable Jacobi.
+
+Reference semantics: /root/reference/pytorch/TrainableJacobiDiag/loss.py.
+The loss per matrix is an estimate of the largest eigenvalue of the error
+propagator T = I - omega D^{-1} A restricted to high-frequency modes:
+
+  * exact path  (loss.py:59-64, eval only): dense eigvals of T
+  * train path  (loss.py:68-71, 105-128): Gelfand estimate
+        max_m || T^K y_m ||^{1/K}  over m probe vectors y_m, K = 3
+    with probes drawn from high-frequency Fourier modes
+    sin(theta_x pi x) sin(theta_y pi y), theta > n/2  (loss.py:139-170)
+
+Design changes vs the reference (deliberate):
+  * T is never materialised — the reference builds a sparse COO T
+    (build_error_matrix, loss.py:92-102); here each application is
+    y - omega * (A y) / d, one fused SpMM (SURVEY.md §7.4),
+  * probe-vector generation is host-side and seeded (numpy), keeping the
+    device loss a pure function of (A, d, probes),
+  * the K applications run under lax.fori_loop and the whole loss is
+    differentiable w.r.t. d via jax.grad (the reference relies on torch
+    autograd through sparse matmuls).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnla_tpu.ops.sparse import SparseOperator
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------- probes
+def high_freq_probes(n_vertices: int, m: int, xy: Optional[np.ndarray],
+                     rng: np.random.Generator) -> np.ndarray:
+    """m unit vectors sampled from high-frequency Fourier modes [N, m].
+
+    Mirrors get_random_high_freq (loss.py:139-170): draw theta_x, theta_y ~
+    U(1, n), accept when theta_x > n/2 or theta_y > n/2, mode =
+    sin(theta_x pi x) sin(theta_y pi y) on the vertex coordinates.
+    """
+    n = int(math.sqrt(n_vertices))
+    if xy is None:
+        idx = np.arange(n)
+        x = (idx + 1) / (n + 1)
+        xx, yy = np.meshgrid(x, x, indexing="xy")
+        xx, yy = xx.ravel(), yy.ravel()
+    else:
+        xx, yy = np.asarray(xy)[:, 0], np.asarray(xy)[:, 1]
+
+    cols = []
+    while len(cols) < m:
+        tx, ty = (n - 1) * rng.random(2) + 1
+        if tx > n / 2 or ty > n / 2:
+            t = np.sin(tx * np.pi * xx) * np.sin(ty * np.pi * yy)
+            cols.append(t)
+    Y = np.stack(cols, axis=1)
+    return Y / np.linalg.norm(Y, axis=0, keepdims=True)
+
+
+def uniform_probes(n_vertices: int, m: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    """m unit vectors uniform on the sphere (loss.py:130-137)."""
+    Y = rng.standard_normal((n_vertices, m))
+    return Y / np.linalg.norm(Y, axis=0, keepdims=True)
+
+
+# ----------------------------------------------------------- propagator
+def error_apply(op: SparseOperator, diag: Array, omega: float,
+                y: Array) -> Array:
+    """One application of T = I - omega D^{-1} A, implicit (never built)."""
+    ay = op.matvec(y)
+    if y.ndim > 1:
+        return y - omega * ay / diag[:, None]
+    return y - omega * ay / diag
+
+
+def damping_factor_gelfand(op: SparseOperator, diag: Array, omega: float,
+                           probes: Array, k: int = 3) -> Array:
+    """Gelfand estimate max_m ||T^k y_m||^{1/k} (loss.py:105-128).
+
+    Differentiable w.r.t. diag. probes: [N, m] unit columns.
+    """
+    def body(_, y):
+        return error_apply(op, diag, omega, y)
+
+    y = jax.lax.fori_loop(0, k, body, probes)
+    norms = jnp.linalg.norm(y, axis=0)
+    return jnp.max(norms) ** (1.0 / k)
+
+
+def damping_factor_exact(op: SparseOperator, diag: Array,
+                         omega: float) -> float:
+    """Exact |lambda|_max of T via dense eigvals (loss.py:59-64; eval only,
+    not differentiable and O(N^3) — mirrors the reference's exact path).
+
+    Runs on host: nonsymmetric eig has no TPU lowering, and the reference's
+    exact path is likewise a dense eval-only escape (loss.py:57-64).
+    """
+    n = op.n_rows
+    A = np.asarray(op.to_dense(), dtype=np.float64)
+    d = np.asarray(diag, dtype=np.float64)
+    T = np.eye(n) - omega * (A / d[:, None])
+    return float(np.max(np.abs(np.linalg.eigvals(T))))
+
+
+def optimal_omega(op: SparseOperator,
+                  diag: Optional[Array] = None) -> float:
+    """omega* = 2 / (lmax + lmin) of D^{-1} A (loss.py:221-233; dense,
+    host-side eval-only)."""
+    d = op.diagonal() if diag is None else diag
+    d = np.asarray(d, dtype=np.float64)
+    dinv_a = np.asarray(op.to_dense(), dtype=np.float64) / d[:, None]
+    evals = np.abs(np.linalg.eigvals(dinv_a))
+    return float(2.0 / (np.max(evals) + np.min(evals)))
+
+
+# ------------------------------------------------------------ batch loss
+def loss_batch_stacked(vals: Array, op_template: SparseOperator,
+                       diags: Array, probes: Array,
+                       omega: float = 2.0 / 3.0, k: int = 3) -> Array:
+    """Mean damping factor over a batch of same-pattern matrices.
+
+    TPU-first batching: datasets of FEM matrices on a fixed mesh share one
+    sparsity pattern, so a batch is stacked values [B, E] + stacked diags
+    [B, N] + stacked probes [B, N, m] vmapped over B — no PyG-style batch
+    vector needed (contrast reference loss.py:185-203's per-graph loop).
+    """
+    def one(v, d, y):
+        return damping_factor_gelfand(op_template.with_values(v), d, omega,
+                                      y, k=k)
+
+    return jnp.mean(jax.vmap(one)(vals, diags, probes))

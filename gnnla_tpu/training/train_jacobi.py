@@ -1,0 +1,218 @@
+"""Trainable-Jacobi training driver.
+
+Reference: /root/reference/pytorch/TrainableJacobiDiag/train.py:52-133 —
+Adam lr 1e-2 + ReduceLROnPlateau, 62 epochs, batch 100, seed 54681,
+800/50/150 split on 1000 small-band matrices, loss = mean Gelfand damping
+factor at omega = 2/3; post-training eigen-analysis vs omega = 1, 2/3, opt.
+
+TPU-first redesign:
+  * same-pattern dataset bucket -> one jitted, vmapped train step over
+    stacked values (no per-graph Python loop as in loss.py:196-201),
+  * probes regenerated on host each epoch (seeded), passed as arrays so the
+    device step stays pure,
+  * optax adam + contrib.reduce_on_plateau, orbax checkpoints,
+  * the whole epoch's gradient step count compiles to one program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from optax.contrib import reduce_on_plateau
+
+from gnnla_tpu.models.trainable_jacobi import (TrainableJacobiMLP,
+                                               jacobi_diag_features)
+from gnnla_tpu.training import spectral_loss
+from gnnla_tpu.training.datasets import StackedGraphs, small_band_dataset
+
+
+@dataclasses.dataclass
+class TrainJacobiConfig:
+    num_matrices: int = 1000
+    n_mesh: int = 38
+    h_low: float = 0.0005
+    epochs: int = 62
+    batch_size: int = 100
+    lr: float = 1e-2
+    seed: int = 54681
+    n_train: int = 800
+    n_val: int = 50
+    n_test: int = 150
+    m_probes: int = 20
+    gelfand_k: int = 3
+    omega: float = 2.0 / 3.0
+    widths: tuple = (50, 20, 1)
+    init_scheme: str = "reference"
+    cache_dir: Optional[str] = "data_cache"
+    checkpoint_dir: Optional[str] = None
+    log_every: int = 1
+
+
+def _predict_batch(params, model, ds: StackedGraphs, offdiag_vals, diags):
+    """vmap the vertex-only GN block over a stacked bucket -> [B, N]."""
+    def one(ov, d):
+        feats = jacobi_diag_features(ds.template_nodiag.with_values(ov), d)
+        return jnp.ravel(model.apply(params, feats))
+    return jax.vmap(one)(offdiag_vals, diags)
+
+
+def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int):
+    """Batched spectral loss.
+
+    The Gelfand damping-factor SpMMs run on the DIA (shift-based) layout:
+    gather-free, faster than scatter segment-sums on TPU, and identical
+    numerics (tests assert parity with the COO path). `vals` therefore
+    arrives as stacked DIA diagonals [B, K, N] from `ds.dia_stack()`.
+    """
+    from gnnla_tpu.ops.dia import DIAOperator
+
+    offsets, _ = ds.dia_stack()
+    n = ds.template.n_rows
+    nnz = ds.template.nnz
+
+    def loss_fn(params, dia_diags, offdiag_vals, diags, probes):
+        dvals = _predict_batch(params, model, ds, offdiag_vals, diags)
+
+        def one(dd, d, y):
+            op = DIAOperator(diags=dd, offsets=offsets, n=n, nnz=nnz)
+            return spectral_loss.damping_factor_gelfand(op, d, omega, y, k=k)
+
+        return jnp.mean(jax.vmap(one)(dia_diags, dvals, probes))
+
+    return loss_fn
+
+
+def _draw_probes(ds: StackedGraphs, idx, m, rng):
+    n_v = ds.template.n_rows
+    return np.stack([
+        spectral_loss.high_freq_probes(
+            n_v, m, ds.coords[i] if ds.coords is not None else None, rng)
+        for i in idx])
+
+
+def train(config: TrainJacobiConfig = TrainJacobiConfig(),
+          dataset: Optional[StackedGraphs] = None):
+    """Returns (params, history dict)."""
+    cfg = config
+    rng = np.random.default_rng(cfg.seed)
+    if dataset is None:
+        dataset = small_band_dataset(cfg.num_matrices, n=cfg.n_mesh,
+                                     h_low=cfg.h_low, seed=cfg.seed,
+                                     cache_dir=cfg.cache_dir)
+
+    perm = rng.permutation(dataset.n_graphs)
+    tr = dataset.select(perm[:cfg.n_train])
+    va = dataset.select(perm[cfg.n_train:cfg.n_train + cfg.n_val])
+    te = dataset.select(perm[cfg.n_train + cfg.n_val:
+                             cfg.n_train + cfg.n_val + cfg.n_test])
+
+    model = TrainableJacobiMLP(widths=cfg.widths, init_scheme=cfg.init_scheme)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key, jnp.zeros((1, 5), jnp.float32))
+
+    tx = optax.chain(optax.adam(cfg.lr), reduce_on_plateau(factor=0.1,
+                                                           patience=10))
+    opt_state = tx.init(params)
+
+    loss_fn = make_loss_fn(model, dataset, cfg.omega, cfg.gelfand_k)
+    _, tr_dia = tr.dia_stack()
+    _, va_dia = va.dia_stack()
+    _, te_dia = te.dia_stack()
+
+    @jax.jit
+    def train_step(params, opt_state, dia_diags, offdiag_vals, diags,
+                   probes, plateau_value):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, dia_diags, offdiag_vals, diags, probes)
+        updates, opt_state = tx.update(grads, opt_state, params,
+                                       value=plateau_value)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    eval_loss = jax.jit(loss_fn)
+
+    def as_f32(a):
+        return jnp.asarray(a, jnp.float32)
+
+    history = {"train_loss": [], "val_loss": [], "epoch_time_s": []}
+    ckpt = None
+    if cfg.checkpoint_dir:
+        from gnnla_tpu.training.checkpoints import CheckpointManager
+        ckpt = CheckpointManager(cfg.checkpoint_dir)
+
+    val_probes = _draw_probes(va, range(va.n_graphs), cfg.m_probes, rng)
+    val_loss = jnp.inf
+
+    for epoch in range(cfg.epochs):
+        t0 = time.time()
+        order = rng.permutation(tr.n_graphs)
+        epoch_loss, n_seen = 0.0, 0
+        for start in range(0, tr.n_graphs, cfg.batch_size):
+            idx = order[start:start + cfg.batch_size]
+            if len(idx) < cfg.batch_size:
+                break  # keep shapes static; drop ragged tail
+            probes = _draw_probes(tr, idx, cfg.m_probes, rng)
+            params, opt_state, loss = train_step(
+                params, opt_state,
+                as_f32(tr_dia[idx]), as_f32(tr.offdiag_vals[idx]),
+                as_f32(tr.diags[idx]), as_f32(probes),
+                jnp.asarray(val_loss, jnp.float32))
+            epoch_loss += float(loss) * len(idx)
+            n_seen += len(idx)
+
+        val_loss = float(eval_loss(params, as_f32(va_dia),
+                                   as_f32(va.offdiag_vals),
+                                   as_f32(va.diags), as_f32(val_probes)))
+        dt = time.time() - t0
+        history["train_loss"].append(epoch_loss / max(n_seen, 1))
+        history["val_loss"].append(val_loss)
+        history["epoch_time_s"].append(dt)
+        if cfg.log_every and (epoch == 0 or (epoch + 1) % cfg.log_every == 0):
+            print(f"epoch {epoch + 1}: train {history['train_loss'][-1]:.5f} "
+                  f"val {val_loss:.5f} ({dt:.1f}s)")
+        if ckpt:
+            ckpt.save(epoch, params, metrics={"val_loss": val_loss})
+
+    # held-out test loss
+    te_probes = _draw_probes(te, range(te.n_graphs), cfg.m_probes, rng)
+    test_loss = float(eval_loss(params, as_f32(te_dia),
+                                as_f32(te.offdiag_vals), as_f32(te.diags),
+                                as_f32(te_probes)))
+    history["test_loss"] = test_loss
+    print(f"test loss: {test_loss:.5f}")
+    if ckpt:
+        ckpt.close()
+    return params, history
+
+
+def evaluate_vs_baselines(params, dataset: StackedGraphs,
+                          cfg: TrainJacobiConfig, max_graphs: int = 16):
+    """Exact damping factors: learned D vs omega=1, 2/3, optimal
+    (reference train.py:126-133 comparison; exact dense path)."""
+    model = TrainableJacobiMLP(widths=cfg.widths, init_scheme=cfg.init_scheme)
+    out = {"learned": [], "w1": [], "w23": [], "opt": []}
+    for i in range(min(dataset.n_graphs, max_graphs)):
+        op = dataset.template.with_values(
+            jnp.asarray(dataset.vals[i], jnp.float32))
+        diag = jnp.asarray(dataset.diags[i], jnp.float32)
+        feats = jacobi_diag_features(
+            dataset.template_nodiag.with_values(
+                jnp.asarray(dataset.offdiag_vals[i], jnp.float32)), diag)
+        dlearn = jnp.ravel(model.apply(params, feats))
+        # reference evaluates learned D at omega = 2/3 (train.py:203-205)
+        out["learned"].append(float(spectral_loss.damping_factor_exact(
+            op, dlearn, 2.0 / 3.0)))
+        out["w1"].append(float(spectral_loss.damping_factor_exact(
+            op, diag, 1.0)))
+        out["w23"].append(float(spectral_loss.damping_factor_exact(
+            op, diag, 2.0 / 3.0)))
+        w_opt = spectral_loss.optimal_omega(op, diag)
+        out["opt"].append(float(spectral_loss.damping_factor_exact(
+            op, diag, w_opt)))
+    return {k: float(np.mean(v)) for k, v in out.items()}

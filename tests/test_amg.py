@@ -136,3 +136,22 @@ def test_vcycle_jit(A, rng):
     x1 = f(setup, b, x0)
     x2 = vcycle(setup, b, x0)
     np.testing.assert_allclose(x1, x2, rtol=1e-5, atol=1e-6)
+
+
+def test_setup_host_matches_device_gnn():
+    """The host-numpy setup path (default, avoids device round-trips on
+    tunneled TPU backends) must produce the same artifacts as the
+    device-GNN path, on a mesh big enough for a non-trivial splitting."""
+    A = laplacian_2d(8)
+    s_host = setup_twogrid(A, theta=0.25, splitting="cljp", seed=0)
+    s_dev = setup_twogrid(A, theta=0.25, splitting="cljp", seed=0,
+                          use_device_gnn=True)
+    np.testing.assert_array_equal(np.asarray(s_host.coarse_flags),
+                                  np.asarray(s_dev.coarse_flags))
+    assert s_host.P.shape == s_dev.P.shape
+    np.testing.assert_allclose(np.asarray(s_host.P.to_dense()),
+                               np.asarray(s_dev.P.to_dense()),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_host.Ac.to_dense()),
+                               np.asarray(s_dev.Ac.to_dense()),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,78 @@
+"""Native C++ runtime (graph builder + CLJP) vs the numpy implementations."""
+
+import subprocess
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from gnnla_tpu import native_ext
+from gnnla_tpu.amg.splitting import split_cljp
+from gnnla_tpu.models import soc_classic
+from gnnla_tpu.problems import laplacian_2d
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not native_ext.available():
+        try:
+            subprocess.run(["make", "-C", "native"], check=True,
+                           capture_output=True, cwd="/root/repo")
+        except Exception:
+            pytest.skip("native toolchain unavailable")
+    if not native_ext.available():
+        pytest.skip("native library not built")
+
+
+def test_coalesce_coo_native(rng):
+    rows = rng.integers(0, 50, 500)
+    cols = rng.integers(0, 50, 500)
+    vals = rng.standard_normal(500)
+    r, c, v = native_ext.coalesce_coo(rows, cols, vals, 50)
+    expected = sp.coo_matrix((vals, (rows, cols)), shape=(50, 50))
+    expected.sum_duplicates()
+    expected = expected.tocsr().tocoo()
+    np.testing.assert_array_equal(r, expected.row)
+    np.testing.assert_array_equal(c, expected.col)
+    np.testing.assert_allclose(v, expected.data, rtol=1e-12)
+
+
+def test_csr_row_ptr_native(rng):
+    rows = np.sort(rng.integers(0, 20, 100))
+    got = native_ext.csr_row_ptr(rows, 20)
+    expected = np.zeros(21, dtype=np.int64)
+    np.add.at(expected, rows + 1, 1)
+    expected = np.cumsum(expected)
+    np.testing.assert_array_equal(got, expected)
+
+
+def _strength(A, theta=0.25):
+    nd = A.remove_diagonal()
+    s = np.asarray(soc_classic(nd, theta)) > 0
+    return sp.coo_matrix(
+        (s.astype(float), (np.asarray(nd.rows), np.asarray(nd.cols))),
+        shape=A.shape).tocsr()
+
+
+def test_cljp_native_valid_splitting():
+    """Native CLJP must produce a *valid* splitting (every F point strongly
+    depends on a C point); bit-parity with the python variant is not
+    required (tie-breaking RNG differs), validity is."""
+    A = laplacian_2d(8)
+    S = _strength(A)
+    coarse = native_ext.cljp_split(S, seed=0)
+    assert coarse.shape == (64,)
+    assert 0 < coarse.sum() < 64
+    fine = np.flatnonzero(coarse == 0)
+    for i in fine:
+        deps = S.indices[S.indptr[i]:S.indptr[i + 1]]
+        assert np.any(coarse[deps] == 1), f"F point {i} has no C neighbor"
+
+
+def test_cljp_native_matches_python_coverage():
+    """Same coarse-set *size ballpark* as the python CLJP on the fixture."""
+    A = laplacian_2d(10)
+    S = _strength(A)
+    c_native = native_ext.cljp_split(S, seed=0)
+    c_python = split_cljp(S, seed=0)
+    assert abs(int(c_native.sum()) - int(c_python.sum())) <= 20

@@ -1,0 +1,44 @@
+"""Pallas DIA SpMV kernel — interpreter-mode parity on CPU.
+
+Real-TPU execution is covered by bench.py; these tests run the same kernel
+through the Pallas interpreter so CI (CPU) validates indexing/halo logic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnla_tpu.ops.dia import to_dia
+from gnnla_tpu.problems import laplacian_2d
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", interp)
+    yield
+
+
+def test_pallas_dia_matches(rng):
+    from gnnla_tpu.ops.pallas_spmv import make_dia_spmv
+    A = laplacian_2d(64).eliminate_zeros()   # 4096 rows
+    dia = to_dia(A)
+    mv = make_dia_spmv(dia, tile=2048)
+    x = jnp.asarray(rng.random(4096), jnp.float32)
+    np.testing.assert_allclose(mv(x), A.matvec(x), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_dia_nonmultiple_size(rng):
+    from gnnla_tpu.ops.pallas_spmv import make_dia_spmv
+    A = laplacian_2d(50).eliminate_zeros()   # 2500 rows, not tile-aligned
+    dia = to_dia(A)
+    mv = make_dia_spmv(dia, tile=1024)
+    x = jnp.asarray(rng.random(2500), jnp.float32)
+    np.testing.assert_allclose(mv(x), A.matvec(x), rtol=1e-5, atol=1e-5)

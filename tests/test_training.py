@@ -1,0 +1,160 @@
+"""Tests for the learned-model family: spectral loss, trainable Jacobi,
+diffusion GNN — small configs so the suite stays fast on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnla_tpu.models.diffusion_gnn import DiffusionGNN
+from gnnla_tpu.models.trainable_jacobi import (TrainableJacobiMLP,
+                                               jacobi_diag_features)
+from gnnla_tpu.core import GraphState
+from gnnla_tpu.problems import laplacian_2d
+from gnnla_tpu.training import (TrainDiffusionConfig, TrainJacobiConfig,
+                                cosine_diffusion_dataset, small_band_dataset,
+                                spectral_loss, train_diffusion, train_jacobi)
+from gnnla_tpu.training.train_diffusion import edge_features
+
+
+def test_gelfand_vs_exact_damping():
+    """Gelfand estimate must lower-bound (approach) the exact |lambda|max on
+    the Laplacian, as in Taghibakhshi et al. (reference loss.py:66-71)."""
+    A = laplacian_2d(8)
+    diag = A.diagonal()
+    omega = 2.0 / 3.0
+    exact = float(spectral_loss.damping_factor_exact(A, diag, omega))
+    rng = np.random.default_rng(0)
+    probes = jnp.asarray(
+        spectral_loss.uniform_probes(64, 30, rng), jnp.float32)
+    est = float(spectral_loss.damping_factor_gelfand(A, diag, omega, probes,
+                                                     k=6))
+    assert est <= exact + 1e-4
+    assert est > 0.5 * exact  # not wildly off
+
+
+def test_error_apply_matches_dense():
+    A = laplacian_2d(5)
+    diag = A.diagonal()
+    y = jnp.asarray(np.random.default_rng(1).random((25, 4)), jnp.float32)
+    got = spectral_loss.error_apply(A, diag, 0.7, y)
+    Ad = np.asarray(A.to_dense(), np.float64)
+    T = np.eye(25) - 0.7 * (Ad / np.asarray(diag, np.float64)[:, None])
+    np.testing.assert_allclose(got, T @ np.asarray(y, np.float64),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_optimal_omega_on_spd():
+    """For -Laplacian (SPD), omega* = 2/(lmax+lmin) of D^-1 A."""
+    import scipy.sparse as sp
+    from gnnla_tpu.ops.sparse import SparseOperator
+    A = laplacian_2d(5)
+    Apos = SparseOperator.from_dense(-np.asarray(A.to_dense(), np.float64))
+    w = float(spectral_loss.optimal_omega(Apos))
+    Ad = np.asarray(Apos.to_dense(), np.float64)
+    evs = np.abs(np.linalg.eigvals(Ad / np.diag(Ad)[:, None]))
+    np.testing.assert_allclose(w, 2.0 / (evs.max() + evs.min()), rtol=1e-4)
+
+
+def test_high_freq_probes_shape_and_norm():
+    rng = np.random.default_rng(3)
+    Y = spectral_loss.high_freq_probes(25, 7, None, rng)
+    assert Y.shape == (25, 7)
+    np.testing.assert_allclose(np.linalg.norm(Y, axis=0), 1.0, rtol=1e-12)
+
+
+def test_jacobi_features():
+    A = laplacian_2d(3)
+    nd = A.remove_diagonal()
+    feats = jacobi_diag_features(nd, A.diagonal())
+    assert feats.shape == (9, 5)
+    # The kron-built fixture stores explicit zero edges — matching the
+    # reference's laplacianfun_torch exactly (UtilsGNN.py:56-60) — so corner
+    # vertex 0 has 5 stored off-diag entries {1, 0, 1, 0, 0}:
+    # min=0, mean=0.4, sum=2, max=1.
+    np.testing.assert_allclose(np.asarray(feats[0]), [-4, 0, 0.4, 2, 1],
+                               rtol=1e-6)
+    # with explicit zeros eliminated: 2 real neighbors of +1
+    nd_tight = nd.eliminate_zeros()
+    feats_t = jacobi_diag_features(nd_tight, A.diagonal())
+    np.testing.assert_allclose(np.asarray(feats_t[0]), [-4, 1, 1, 2, 1],
+                               rtol=1e-6)
+
+
+def test_trainable_jacobi_model_parity_with_reference_shapes():
+    model = TrainableJacobiMLP()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5)))
+    flat = jax.tree_util.tree_leaves(params)
+    n_params = sum(p.size for p in flat)
+    # reference MLP 5->50->20->1: (5*50+50)+(50*20+20)+(20*1+1) = 1341
+    assert n_params == 1341
+    # reference init: weights U[0,1), bias 0.01
+    kernel = params["params"]["Dense_0"]["kernel"]
+    assert float(jnp.min(kernel)) >= 0.0 and float(jnp.max(kernel)) < 1.0
+    bias = params["params"]["Dense_0"]["bias"]
+    np.testing.assert_allclose(np.asarray(bias), 0.01)
+
+
+def test_small_band_dataset_stacking(tmp_path):
+    ds = small_band_dataset(4, n=10, seed=1, cache_dir=str(tmp_path))
+    assert ds.vals.shape[0] == 4
+    assert ds.diags.shape == (4, ds.template.n_rows)
+    assert ds.offdiag_vals.shape == (4, ds.template_nodiag.nnz)
+    # cache roundtrip
+    ds2 = small_band_dataset(4, n=10, seed=1, cache_dir=str(tmp_path))
+    np.testing.assert_allclose(ds.vals, ds2.vals)
+    np.testing.assert_allclose(ds.coords, ds2.coords)
+
+
+def test_train_jacobi_smoke(tmp_path):
+    """Loss must decrease over a short run on a tiny dataset; the learned
+    diagonal must beat omega=1 on damping (the reference's quality check,
+    train.py:126-133)."""
+    cfg = TrainJacobiConfig(num_matrices=16, n_mesh=10, epochs=8,
+                            batch_size=8, n_train=12, n_val=2, n_test=2,
+                            m_probes=8, cache_dir=str(tmp_path),
+                            log_every=0)
+    params, history = train_jacobi(cfg)
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert np.isfinite(history["test_loss"])
+
+    from gnnla_tpu.training import evaluate_vs_baselines, small_band_dataset
+    ds = small_band_dataset(4, n=10, seed=99, cache_dir=str(tmp_path))
+    res = evaluate_vs_baselines(params, ds, cfg, max_graphs=4)
+    assert res["learned"] < res["w1"]  # beats unweighted Jacobi
+
+
+def test_diffusion_dataset(tmp_path):
+    ds = cosine_diffusion_dataset(3, n=8, seed=2, cache_dir=str(tmp_path))
+    assert ds.targets.shape == (3, 64, 2)
+    assert ds.globals_.shape == (3, 1)
+    rel = edge_features(ds, 8)
+    assert rel.shape == (ds.template_nodiag.nnz, 2)
+    assert set(np.unique(rel)).issubset({-1.0, 0.0, 1.0})
+
+
+def test_diffusion_gnn_forward_shapes():
+    ds = cosine_diffusion_dataset(2, n=8, seed=5, cache_dir=None)
+    rel = edge_features(ds, 8)
+    model = DiffusionGNN(n_layers_external=2, n_layers_internal=2,
+                         n_hidden=8, encoder=(1, 8), decoder=(1, 8))
+    e = jnp.concatenate([jnp.asarray(ds.offdiag_vals[0],
+                                     jnp.float32)[:, None],
+                         jnp.asarray(rel, jnp.float32)], axis=1)
+    state = GraphState(
+        vertices=jnp.asarray(ds.diags[0], jnp.float32)[:, None],
+        edges=e, globals_=jnp.asarray(ds.globals_[0], jnp.float32))
+    params = model.init(jax.random.PRNGKey(0), ds.template_nodiag, state)
+    out = model.apply(params, ds.template_nodiag, state)
+    assert out.shape == (64, 2)
+
+
+def test_train_diffusion_smoke(tmp_path):
+    cfg = TrainDiffusionConfig(num_matrices=12, n_mesh=8, epochs=10,
+                               batch_size=4, n_hidden=8,
+                               n_layers_external=1, n_layers_internal=2,
+                               cache_dir=str(tmp_path), log_every=0,
+                               patience=50)
+    params, history = train_diffusion(cfg)
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert history["test_loss"] is not None
