@@ -153,6 +153,12 @@ _SPLITTERS = {
 
 
 def split(S, method: str = "cljp", seed: int = 0) -> np.ndarray:
+    if method == "cljp":
+        # prefer the C++ runtime when built (native/graphbuild.cpp) — same
+        # role pyamg's native CLJP plays for the reference (VCycle.py:114)
+        from gnnla_tpu import native_ext
+        if native_ext.available():
+            return native_ext.cljp_split(S, seed=seed)
     try:
         fn = _SPLITTERS[method]
     except KeyError:

@@ -1,5 +1,10 @@
 from gnnla_tpu.core.graph import GraphState, GraphBatch, columns
 from gnnla_tpu.core.block import GNBlock, EdgeAggregator, NodeAggregator, chain
+from gnnla_tpu.core.convert import (as_operator, coo_to_gnn_input,
+                                    remove_diag_entries, matrix_to_graph,
+                                    graph_to_matrix, graph_state_from_matrix)
 
 __all__ = ["GraphState", "GraphBatch", "columns", "GNBlock",
-           "EdgeAggregator", "NodeAggregator", "chain"]
+           "EdgeAggregator", "NodeAggregator", "chain", "as_operator",
+           "coo_to_gnn_input", "remove_diag_entries", "matrix_to_graph",
+           "graph_to_matrix", "graph_state_from_matrix"]

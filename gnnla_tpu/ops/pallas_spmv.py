@@ -1,20 +1,27 @@
-"""Hand-fused Pallas TPU kernel for DIA-format SpMV.
+"""Hand-fused Pallas TPU kernels for DIA-format SpMV.
 
-One pass over HBM: for each row tile, DMA the halo-extended x window into
-VMEM once, then accumulate K shifted multiply-adds on the VPU — the
-single-kernel version of `DIAOperator.matvec`'s shifted-sum formulation.
-Memory traffic per tile: K*T (diagonals) + T + 2P (x window) + T (y) words,
-with the x window reused across all K diagonals (XLA's fusion of the jnp
-version re-reads shifted x slices; here the reuse is explicit).
+One pass over HBM per matvec: for each row tile, the halo-extended x window
+is DMA'd into VMEM (double-buffered — the next tile's window transfers while
+the current tile computes), then K shifted multiply-adds accumulate on the
+VPU. The diagonal blocks and y tiles ride the pallas_call grid pipeline,
+which double-buffers them automatically.
 
-Only used for banded operators (every FEM family here). The y tile boundary
-handling is free: x is zero-padded by P = max|offset| on both sides, and DIA
-stores structural zeros at band boundaries.
+Two entry points:
+
+  * `make_dia_spmv(dia)`        — y = A @ x on plain [n] vectors.
+  * `make_dia_spmv_padded(dia)` — operates on halo-padded vectors
+    [T + n_pad + T] and *returns* a halo-padded result, so an iteration
+    x <- f(A @ x) (power method, smoothers, the bench loop) never re-pads
+    or slices between applications: the padded output feeds straight back
+    in. Traffic per matvec is the roofline minimum K*n + n + n words
+    (+ halo), with zero gathers.
+
+Only used for banded operators (every FEM family here). Boundary handling is
+free: x carries a zeroed halo of one tile on each side, and DIA stores
+structural zeros at band boundaries, so off-band reads multiply by zero.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -28,58 +35,119 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def make_dia_spmv(dia: DIAOperator, tile: int = 64 * 1024):
-    """Returns a jitted y = A @ x closure over the DIA operator.
-
-    tile: rows per grid step (multiple of 1024; clamped to the padded n).
-    """
+def _build_padded_call(dia: DIAOperator, tile: int):
+    """pallas_call producing y_pad [T + n_pad + T] from x_pad of the same
+    shape (T = tile). Grid steps 0 and G+1 zero the halo tiles; interior
+    step i computes matrix rows [(i-1)*tile, i*tile)."""
     offsets = dia.offsets
     k = len(offsets)
     n = dia.n
-    pad = _round_up(max(1, max(abs(o) for o in offsets)), 1024)
-    n_pad = _round_up(n, min(tile, _round_up(n, 1024)))
-    tile = min(tile, n_pad)
+    halo = _round_up(max(1, max(abs(o) for o in offsets)), 1024)
+    tile = min(tile, _round_up(max(n, halo), 1024))
     n_pad = _round_up(n, tile)
-    grid = n_pad // tile
-    win = tile + 2 * pad
+    grid_inner = n_pad // tile
+    grid = grid_inner + 2
+    win = tile + 2 * halo
+    total = n_pad + 2 * tile
 
-    # pad diagonals once at closure build time: [K, n_pad]
     diags = jnp.zeros((k, n_pad), dia.diags.dtype).at[:, :n].set(dia.diags)
 
-    def kernel(diags_ref, xpad_hbm, y_ref, xwin, sem):
+    def kernel(diags_ref, xpad_hbm, y_ref, xwin0, xwin1, sem0, sem1):
         i = pl.program_id(0)
-        start = pl.multiple_of(i * tile, 1024)
-        dma = pltpu.make_async_copy(
-            xpad_hbm.at[pl.ds(start, win)], xwin, sem)
-        dma.start()
-        dma.wait()
-        acc = diags_ref[0, :] * xwin[pl.ds(pad + offsets[0], tile)]
-        for j in range(1, k):
-            acc += diags_ref[j, :] * xwin[pl.ds(pad + offsets[j], tile)]
-        y_ref[:] = acc
+        bufs = (xwin0, xwin1)
+        sems = (sem0, sem1)
+
+        def dma(slot, block):
+            # x window for y block `block`: matrix rows
+            # [(block-1)*tile - halo, block*tile + halo) -> padded coords
+            # [block*tile - halo, (block+1)*tile + halo)
+            start = pl.multiple_of(block * tile - halo, 1024)
+            return pltpu.make_async_copy(
+                xpad_hbm.at[pl.ds(start, win)], bufs[slot], sems[slot])
+
+        def compute(buf):
+            acc = diags_ref[0, :] * buf[pl.ds(halo + offsets[0], tile)]
+            for j in range(1, k):
+                acc += diags_ref[j, :] * buf[pl.ds(halo + offsets[j], tile)]
+            y_ref[:] = acc
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+            dma(1, 1).start()
+
+        # interior steps, split by buffer parity so every scratch ref is
+        # static (Mosaic cannot slice the buffer axis dynamically)
+        for parity in (0, 1):
+            @pl.when(jnp.logical_and(
+                jnp.logical_and(i >= 1, i <= grid_inner),
+                i % 2 == parity))
+            def _(parity=parity):
+                @pl.when(i + 1 <= grid_inner)
+                def _():
+                    dma(1 - parity, i + 1).start()
+                dma(parity, i).wait()
+                compute(bufs[parity])
+
+        @pl.when(i == grid_inner + 1)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+    def diag_index(i):
+        return (0, jnp.clip(i - 1, 0, grid_inner - 1))
 
     call = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((k, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, tile), diag_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),      # x_pad stays in HBM
         ],
         out_specs=pl.BlockSpec((tile,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad,), dia.diags.dtype),
+        out_shape=jax.ShapeDtypeStruct((total,), dia.diags.dtype),
         scratch_shapes=[
             pltpu.VMEM((win,), dia.diags.dtype),
+            pltpu.VMEM((win,), dia.diags.dtype),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    return call, diags, tile, n_pad, total
+
+
+def make_dia_spmv_padded(dia: DIAOperator, tile: int = 128 * 1024):
+    """Returns (matvec_padded, to_padded, from_padded).
+
+    matvec_padded : y_pad = A @ x_pad on [T + n_pad + T] arrays (halo
+                    zeros in, halo zeros out — safe to chain).
+    to_padded     : [n] -> padded layout
+    from_padded   : padded layout -> [n]
+    """
+    call, diags, tile, n_pad, total = _build_padded_call(dia, tile)
+    n = dia.n
+
+    @jax.jit
+    def matvec_padded(x_pad):
+        return call(diags, x_pad)
+
+    @jax.jit
+    def to_padded(x):
+        return jnp.zeros((total,), x.dtype).at[tile:tile + n].set(x)
+
+    @jax.jit
+    def from_padded(x_pad):
+        return x_pad[tile:tile + n]
+
+    return matvec_padded, to_padded, from_padded
+
+
+def make_dia_spmv(dia: DIAOperator, tile: int = 128 * 1024):
+    """Returns a jitted y = A @ x closure over the DIA operator."""
+    matvec_padded, to_padded, from_padded = make_dia_spmv_padded(dia, tile)
 
     @jax.jit
     def matvec(x):
-        x_pad = jnp.zeros((pad + n_pad + pad,), x.dtype)
-        x_pad = x_pad.at[pad:pad + n].set(x)
-        y = call(diags, x_pad)
-        return y[:n]
+        return from_padded(matvec_padded(to_padded(x)))
 
     return matvec

@@ -203,11 +203,26 @@ class SparseOperator:
         return jnp.zeros((n,), self.vals.dtype).at[idx].add(contrib)
 
     def with_values(self, vals: Array) -> "SparseOperator":
-        """Same sparsity pattern, new values (a 'pattern view' update)."""
-        return dataclasses.replace(self, vals=vals)
+        """Same sparsity pattern, new values (a 'pattern view' update).
+
+        When `vals` is host numpy, the host-COO cache carries over; device
+        or traced values leave the new operator cache-less (host-phase ops
+        on it would trigger a device->host pull)."""
+        out = dataclasses.replace(self, vals=jnp.asarray(vals))
+        if isinstance(vals, np.ndarray):
+            h = getattr(self, "_host_coo", None)
+            if h is not None:
+                object.__setattr__(
+                    out, "_host_coo",
+                    (h[0], h[1], np.asarray(vals, dtype=np.float64)))
+        return out
 
     def scale(self, s) -> "SparseOperator":
-        return self.with_values(self.vals * s)
+        out = self.with_values(self.vals * s)
+        h = getattr(self, "_host_coo", None)
+        if h is not None and isinstance(s, (int, float)):
+            object.__setattr__(out, "_host_coo", (h[0], h[1], h[2] * s))
+        return out
 
     # ------------------------------------------------------- pattern views
     def remove_diagonal(self) -> "SparseOperator":

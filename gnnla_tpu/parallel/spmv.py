@@ -136,6 +136,58 @@ def make_sharded_jacobi(part: PartitionedOperator, mesh: Mesh,
     return jax.jit(run, static_argnames=("n_iters",))
 
 
+def make_sharded_power_method(part: PartitionedOperator, mesh: Mesh,
+                              axis: str = "rows"):
+    """Returns jitted (b0 sharded, n_iters static) -> (lambda_max, b).
+
+    The distributed version of models.power_method: row-block SpMV with
+    halo exchange per iteration, iterate normalisation and the Rayleigh
+    quotient as `psum` full-graph reductions (the collectives the
+    reference's torch.sum global aggregations map to,
+    PowerMethodGNN.py:50-61)."""
+    rps, halo = part.rows_per_shard, part.halo
+    use_halo = part.halo_reach <= 1
+
+    def body(rows_l, cols_e, cols_g, vals, mask, b, n_iters):
+        rows_l, cols_e, cols_g = rows_l[0], cols_e[0], cols_g[0]
+        vals, mask, b = vals[0], mask[0], b[0]
+
+        def spmv(x_local):
+            if use_halo:
+                x_ext = _halo_exchange(x_local, halo, axis)
+                prod = jnp.where(mask, vals * x_ext[cols_e], 0.0)
+            else:
+                x_full = jax.lax.all_gather(x_local, axis, tiled=True)
+                prod = jnp.where(mask, vals * x_full[cols_g], 0.0)
+            return segment_sum(prod, rows_l, rps, sorted=True)
+
+        def pnorm(v):
+            return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis))
+
+        def step(b, _):
+            ab = spmv(b)
+            return ab / pnorm(ab), None
+
+        b, _ = jax.lax.scan(step, b, None, length=n_iters)
+        ab = spmv(b)
+        lam = (jax.lax.psum(jnp.sum(b * ab), axis) /
+               jax.lax.psum(jnp.sum(b * b), axis))
+        return lam[None], b[None]
+
+    spec = P(axis)
+
+    def run(b0, n_iters):
+        fn = shard_map(
+            partial(body, n_iters=n_iters), mesh=mesh,
+            in_specs=(spec, spec, spec, spec, spec, spec),
+            out_specs=(spec, spec))
+        lam, b = fn(part.rows_local, part.cols_ext, part.cols_global,
+                    part.vals, part.mask, b0)
+        return lam[0], b
+
+    return jax.jit(run, static_argnames=("n_iters",))
+
+
 def make_sharded_norm(part: PartitionedOperator, mesh: Mesh,
                       axis: str = "rows"):
     """Returns jitted ||x||_2 over a sharded vector via psum."""

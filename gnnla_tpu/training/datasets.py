@@ -23,6 +23,7 @@ import numpy as np
 
 from gnnla_tpu.ops.sparse import SparseOperator
 from gnnla_tpu.problems.diffusion_fem import (alpha_beta_targets,
+                                              constant_diffusion_matrix,
                                               cosine_diffusion_matrix)
 from gnnla_tpu.problems.small_band import small_band_matrix
 
@@ -147,6 +148,58 @@ def small_band_dataset(num_matrices: int, *, n: int = 38,
     return ds
 
 
+def stretched_mesh_dataset(num_matrices: int, *, n_cells: int = 5,
+                           max_stretch: float = 5.0, seed: int = 0,
+                           cache_dir: Optional[str] = None) -> StackedGraphs:
+    """Stretched-mesh heat-equation matrices (one pattern bucket).
+
+    The reference's other trainable-Jacobi data family: the MATLAB trainer
+    draws heateqnfem2dfun([5,5],[1,stretch],[2,2]) with stretch swept
+    linearly over [1, max_stretch] (train_jacobi_find_d.m:59-82), and
+    gettrainingmatrices.m exports 1000 of them (stretch 1..7) for
+    HeatEqnFEM2DDataset (Data.py:50-95). Stretches here follow the linear
+    sweep; `seed` jitters them uniformly within their slot so distinct
+    train/val/test draws differ like the reference's three sweeps do.
+    """
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir,
+            f"stretched_{num_matrices}_{n_cells}_{max_stretch}_{seed}.npz")
+        if os.path.exists(cache):
+            return _load_stacked(cache)
+
+    from gnnla_tpu.problems.fem_heateqn import stretched_mesh_matrix
+    rng = np.random.default_rng(seed)
+    ops, stretches, coords = [], [], []
+    # eliminated Dirichlet BCs keep the interior (n_cells-1)^2 vertices
+    xs_int = np.linspace(0.0, 1.0, n_cells + 1)[1:-1]
+    for i in range(num_matrices):
+        frac = i / max(num_matrices - 1, 1)
+        stretch = 1.0 + frac * (max_stretch - 1.0)
+        if seed:
+            slot = (max_stretch - 1.0) / max(num_matrices - 1, 1)
+            stretch = min(max(1.0, stretch + slot * (rng.random() - 0.5)),
+                          max_stretch)
+        K = stretched_mesh_matrix(n_cells, stretch)
+        ops.append(K)
+        stretches.append(stretch)
+        xy = np.stack(np.meshgrid(xs_int, xs_int, indexing="xy"),
+                      axis=-1).reshape(-1, 2)
+        assert xy.shape[0] == K.shape[0], (xy.shape, K.shape)
+        coords.append(xy)
+
+    template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
+    ds = StackedGraphs(template=template, template_nodiag=nodiag,
+                       vals=vals, offdiag_vals=offdiag_vals, diags=diags,
+                       coords=np.stack(coords),
+                       meta={"stretch": np.asarray(stretches)})
+    if cache:
+        _save_stacked(cache, ds)
+    return ds
+
+
 # --------------------------------------------------------------- diffusion
 def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
                              max_freq: float = 3.0, seed: int = 41,
@@ -190,6 +243,129 @@ def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
     if cache:
         _save_stacked(cache, ds)
     return ds
+
+
+def constant_diffusion_dataset(num_matrices: int, *, n: int = 32,
+                               mode: str = "random", seed: int = 41,
+                               cache_dir: Optional[str] = None
+                               ) -> StackedGraphs:
+    """Constant-coefficient diffusion matrices at fixed resolution n.
+
+    mode='random' mirrors RandomConstantDiffusionDataset (reference
+    data.py:302-324: alpha, beta ~ U(0, 1)); mode='small_alpha_large_beta'
+    mirrors ConstantDiffusionDataset (data.py:253-256: alpha = 10^-i,
+    beta = 0.8 — the out-of-distribution extrapolation sweep used by
+    test_best_performing_model.py:63-88). Targets are the constant
+    per-vertex [alpha_i, beta_i]; global = h.
+    """
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir, f"constdiff_{num_matrices}_{n}_{mode}_{seed}.npz")
+        if os.path.exists(cache):
+            return _load_stacked(cache)
+
+    rng = np.random.default_rng(seed)
+    ops, targets, alphas, betas = [], [], [], []
+    for i in range(num_matrices):
+        if mode == "random":
+            alpha, beta = float(rng.random()), float(rng.random())
+        elif mode == "small_alpha_large_beta":
+            alpha, beta = 10.0 ** (-i), 0.8
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        ops.append(constant_diffusion_matrix(alpha, beta, n))
+        targets.append(np.stack([np.full(n * n, alpha),
+                                 np.full(n * n, beta)], axis=1))
+        alphas.append(alpha)
+        betas.append(beta)
+
+    template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
+    ds = StackedGraphs(
+        template=template, template_nodiag=nodiag, vals=vals,
+        offdiag_vals=offdiag_vals, diags=diags,
+        targets=np.stack(targets),
+        globals_=np.full((num_matrices, 1), 1.0 / n),
+        meta={"alpha": np.asarray(alphas), "beta": np.asarray(betas)})
+    if cache:
+        _save_stacked(cache, ds)
+    return ds
+
+
+def frequency_study_dataset(*, n: int = 32, max_freq: float = 4.0,
+                            cache_dir: Optional[str] = None
+                            ) -> StackedGraphs:
+    """One cosine-diffusion matrix per (theta_x, theta_y) pair on the
+    half-integer frequency grid — the error-surface sweep of
+    FrequencyStudyDiffusionDataset (reference data.py:326-366, consumed by
+    Freq_Study.py:50-108). thetas = [tx, ty, tx, ty]."""
+    cache = None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(cache_dir, f"freqstudy_{n}_{max_freq}.npz")
+        if os.path.exists(cache):
+            return _load_stacked(cache)
+
+    freqs = [0.5 * i for i in range(int(2 * max_freq) + 1)
+             if 0.5 * i <= max_freq]
+    ops, targets, thetas_all = [], [], []
+    for ty in freqs:
+        for tx in freqs:
+            thetas = (tx, ty, tx, ty)
+            ops.append(cosine_diffusion_matrix(thetas, n))
+            a, b = alpha_beta_targets(thetas, n)
+            targets.append(np.stack([a, b], axis=1))
+            thetas_all.append(thetas)
+
+    template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
+    num = len(ops)
+    ds = StackedGraphs(
+        template=template, template_nodiag=nodiag, vals=vals,
+        offdiag_vals=offdiag_vals, diags=diags,
+        targets=np.stack(targets),
+        globals_=np.full((num, 1), 1.0 / n),
+        meta={"thetas": np.asarray(thetas_all)})
+    if cache:
+        _save_stacked(cache, ds)
+    return ds
+
+
+_PROBLEM_TYPES = {
+    "cosine": lambda num, n, max_freq, seed, cache: cosine_diffusion_dataset(
+        num, n=n, max_freq=max_freq, seed=seed, cache_dir=cache),
+    "constant": lambda num, n, max_freq, seed, cache:
+        constant_diffusion_dataset(num, n=n, mode="random", seed=seed,
+                                   cache_dir=cache),
+    "small_alpha_large_beta": lambda num, n, max_freq, seed, cache:
+        constant_diffusion_dataset(num, n=n, mode="small_alpha_large_beta",
+                                   seed=seed, cache_dir=cache),
+    "freq_study": lambda num, n, max_freq, seed, cache:
+        frequency_study_dataset(n=n, max_freq=max_freq, cache_dir=cache),
+}
+
+
+def diffusion_data_module(problem_type: str = "cosine", *,
+                          num_matrices: int = 1000, n: int = 32,
+                          max_freq: float = 3.0, seed: int = 41,
+                          split=(0.7, 0.2, 0.1),
+                          cache_dir: Optional[str] = None):
+    """Dataset factory + 70/20/10 split — the DiffusionDataModule analogue
+    (reference data.py:371-455, four problem_types). Returns
+    (train, val, test) StackedGraphs views over one pattern bucket."""
+    try:
+        builder = _PROBLEM_TYPES[problem_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown problem_type {problem_type!r}; expected one of "
+            f"{sorted(_PROBLEM_TYPES)}") from None
+    ds = builder(num_matrices, n, max_freq, seed, cache_dir)
+    num = ds.n_graphs
+    n_tr = int(split[0] * num)
+    n_va = int(split[1] * num)
+    idx = np.arange(num)
+    return (ds.select(idx[:n_tr]), ds.select(idx[n_tr:n_tr + n_va]),
+            ds.select(idx[n_tr + n_va:]))
 
 
 def periodic_rel_coords(op_nodiag: SparseOperator, n: int) -> np.ndarray:

@@ -87,3 +87,16 @@ def test_sharded_norm_psum(A, mesh, rng):
     xs = device_put_sharded(shard_vector(x, part), mesh)
     np.testing.assert_allclose(float(nrm(xs)), float(jnp.linalg.norm(x)),
                                rtol=1e-5)
+
+
+def test_sharded_power_method_matches(A, mesh, rng):
+    from gnnla_tpu.models import power_method
+    from gnnla_tpu.parallel import make_sharded_power_method
+    part = partition_rows(A, 8)
+    b0 = jnp.asarray(rng.random(256), jnp.float32)
+    lam_ref, _ = power_method(A, b0, n_iters=30)
+
+    pm = make_sharded_power_method(part, mesh)
+    bs = device_put_sharded(shard_vector(b0, part), mesh)
+    lam, b = pm(bs, 30)
+    np.testing.assert_allclose(float(lam), float(lam_ref), rtol=1e-4)
