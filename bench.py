@@ -9,8 +9,8 @@ TrainableJacobiDiag/train.py:59-60) on this host, same matrix, same dtype.
 Workload: 2D 5-point FEM Laplacian (the reference's universal fixture,
 scaled up), x <- A_s @ x iterated under one `lax.scan` program, where
 A_s = A / ||A||_inf (same sparsity, same traffic; the scaling keeps the
-iterate bounded without spending extra memory passes on normalisation —
-a rescaled power iteration). Three device paths are measured — the
+iterate bounded without spending extra memory passes on normalisation — a
+rescaled power iteration). Three device paths are measured — the
 gather/segment-sum COO path (general graphs), the DIA banded path
 (structured FEM), and the double-buffered Pallas DIA kernel — and the best
 is reported, with the per-path breakdown on stderr. Prints exactly one JSON
@@ -18,44 +18,53 @@ line on stdout:
   {"metric": "spmv_edges_per_s", "value": ..., "unit": "edges/s",
    "vs_baseline": ...}
 
-NOTE (axon/tunneled TPU backends): the first device->host transfer of a
-process can cost minutes; this script therefore never fetches device values
-— timing uses block_until_ready only.
+Backend notes (axon/tunneled TPU), learned the hard way:
+  * the first device->host transfer of a process can cost minutes — timing
+    uses block_until_ready only, never value fetches;
+  * a jitted function that closes over a large device array inlines it as a
+    constant into the program shipped to the remote compiler, making
+    compile time scale with matrix bytes (minutes at 84 MB). All operator
+    data is therefore threaded through jit as *arguments*.
 """
 
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
 
-def _bench(matvec, x0, nnz, n_iters: int, n_repeat: int = 3,
-           normalize: bool = False) -> float:
+def _bench(apply_fn, op_tree, x0, nnz, n_iters: int,
+           n_chain: int = 3) -> float:
+    """apply_fn(op_tree, x) -> x'; op_tree threaded as a jit argument.
+
+    Timing protocol for remote/tunneled backends where block_until_ready
+    has been observed to return before execution finishes: chain `n_chain`
+    scan programs output->input (every call gets fresh arguments, so no
+    layer can serve a cached result) and close with a single scalar fetch,
+    which is a true synchronisation point. The fetch cost (~0.4 s once the
+    per-process first-transfer warmup is paid by the caller) is amortised
+    over n_chain * n_iters matvecs.
+    """
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(x):
+    def run(op, x):
         def step(x, _):
-            y = matvec(x)
-            if normalize:
-                # the scatter-based COO path needs a reduction in the loop
-                # body — a pure chained scatter scan tickles a pathological
-                # TPU compile-time blowup (empirically: minutes)
-                y = y * jax.lax.rsqrt(jnp.vdot(y, y))
-            return y, None
+            return apply_fn(op, x), None
         x, _ = jax.lax.scan(step, x, None, length=n_iters)
         return x
 
-    run(x0).block_until_ready()  # compile + warm up
-    best = np.inf
-    for _ in range(n_repeat):
-        t0 = time.perf_counter()
-        run(x0).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return nnz * n_iters / best
+    x = run(op_tree, x0)          # compile + warm up
+    float(jnp.sum(x))             # sync
+    t0 = time.perf_counter()
+    for _ in range(n_chain):
+        x = run(op_tree, x)
+    s = float(jnp.sum(x))         # sync + sanity
+    dt = time.perf_counter() - t0
+    assert np.isfinite(s), f"bench iterate diverged: {s}"
+    return nnz * n_iters * n_chain / dt
 
 
 def bench_cpu_reference(A_scipy, n_iters: int) -> float:
@@ -72,7 +81,7 @@ def bench_cpu_reference(A_scipy, n_iters: int) -> float:
 
 def main():
     n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     import jax.numpy as jnp
 
     from gnnla_tpu.ops.dia import to_dia
@@ -84,29 +93,30 @@ def main():
     op = op_raw.scale(1.0 / 8.0)
     dia = to_dia(op)
     x0 = jnp.ones((op.n_rows,), jnp.float32)
+    # pay the per-process first device->host transfer cost before timing
+    t0 = time.perf_counter()
+    float(jnp.sum(x0))
+    print(f"d2h warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    dia_eps = _bench(dia.matvec, x0, dia.nnz, n_iters)
+    dia_eps = _bench(lambda d, x: d.matvec(x), dia, x0, dia.nnz, n_iters)
     print(f"dia/shift:       {dia_eps:.3e} edges/s", file=sys.stderr)
-
-    # COO path: ~2 orders slower than DIA on TPU (scatter-bound) and its
-    # scan costs minutes of XLA compile time on this backend — opt-in.
-    coo_eps = 0.0
-    if os.environ.get("BENCH_COO"):
-        coo_eps = _bench(op.matvec, x0, op.nnz, max(10, n_iters // 10),
-                         normalize=True)
-        print(f"coo/segment-sum: {coo_eps:.3e} edges/s", file=sys.stderr)
-    else:
-        print("coo/segment-sum: skipped (set BENCH_COO=1)", file=sys.stderr)
 
     try:
         from gnnla_tpu.ops.pallas_spmv import make_dia_spmv_padded
-        mv_pad, to_pad, _ = make_dia_spmv_padded(dia)
-        pallas_eps = _bench(mv_pad, to_pad(x0), dia.nnz, n_iters)
+        pmv = make_dia_spmv_padded(dia)
+        pallas_eps = _bench(pmv.apply, pmv.diags, pmv.to_padded(x0),
+                            pmv.nnz, n_iters)
         print(f"dia/pallas:      {pallas_eps:.3e} edges/s", file=sys.stderr)
     except Exception as e:  # pallas path optional
         print(f"dia/pallas unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
         pallas_eps = 0.0
+
+    # COO path is ~2 orders slower on TPU (scatter-bound): fewer iterations
+    # keep its share of the wall-time bounded without hurting signal.
+    coo_eps = _bench(lambda o, x: o.matvec(x), op, x0, op.nnz,
+                     max(5, n_iters // 100), n_chain=1)
+    print(f"coo/segment-sum: {coo_eps:.3e} edges/s", file=sys.stderr)
 
     tpu_edges_s = max(coo_eps, dia_eps, pallas_eps)
     cpu_edges_s = bench_cpu_reference(op_raw.to_scipy(), n_iters=10)

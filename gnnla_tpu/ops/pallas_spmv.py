@@ -116,38 +116,54 @@ def _build_padded_call(dia: DIAOperator, tile: int):
     return call, diags, tile, n_pad, total
 
 
-def make_dia_spmv_padded(dia: DIAOperator, tile: int = 128 * 1024):
-    """Returns (matvec_padded, to_padded, from_padded).
+class PallasDiaSpMV:
+    """Compiled padded DIA SpMV with arrays threaded as *arguments*.
 
-    matvec_padded : y_pad = A @ x_pad on [T + n_pad + T] arrays (halo
-                    zeros in, halo zeros out — safe to chain).
-    to_padded     : [n] -> padded layout
-    from_padded   : padded layout -> [n]
+    CRITICAL (tunneled/remote-compile TPU backends): a jitted function that
+    *closes over* a large device array inlines it as a constant into the
+    program shipped to the compiler — compile time then scales with matrix
+    bytes (observed: minutes for an 84 MB operator). Every entry point here
+    therefore takes the diagonal data as an explicit argument; when
+    embedding in your own jit/scan, call `apply(self.diags, x_pad)` with
+    diags passed through your function's parameters.
+
+    apply(diags, x_pad) : pure function, safe to use inside jit/scan
+    diags               : [K, n_pad] padded diagonal data (device array)
+    to_padded / from_padded : [n] <-> [T + n_pad + T] layout converters
+    matvec(x)           : convenience single-shot y = A @ x on [n] vectors
     """
-    call, diags, tile, n_pad, total = _build_padded_call(dia, tile)
-    n = dia.n
 
-    @jax.jit
-    def matvec_padded(x_pad):
-        return call(diags, x_pad)
+    def __init__(self, dia: DIAOperator, tile: int):
+        call, diags, tile, n_pad, total = _build_padded_call(dia, tile)
+        self.diags = diags
+        self.tile = tile
+        self.n_pad = n_pad
+        self.total = total
+        self.n = dia.n
+        self.nnz = dia.nnz
+        self.apply = call                     # (diags, x_pad) -> y_pad
+        self._japply = jax.jit(lambda d, x: call(d, x))
 
-    @jax.jit
-    def to_padded(x):
-        return jnp.zeros((total,), x.dtype).at[tile:tile + n].set(x)
+    def to_padded(self, x):
+        return jnp.zeros((self.total,), x.dtype).at[
+            self.tile:self.tile + self.n].set(x)
 
-    @jax.jit
-    def from_padded(x_pad):
-        return x_pad[tile:tile + n]
+    def from_padded(self, x_pad):
+        return x_pad[self.tile:self.tile + self.n]
 
-    return matvec_padded, to_padded, from_padded
+    def matvec_padded(self, x_pad):
+        return self._japply(self.diags, x_pad)
+
+    def matvec(self, x):
+        return self.from_padded(self.matvec_padded(self.to_padded(x)))
+
+
+def make_dia_spmv_padded(dia: DIAOperator,
+                         tile: int = 128 * 1024) -> PallasDiaSpMV:
+    """Build the padded-state Pallas SpMV (see PallasDiaSpMV)."""
+    return PallasDiaSpMV(dia, tile)
 
 
 def make_dia_spmv(dia: DIAOperator, tile: int = 128 * 1024):
-    """Returns a jitted y = A @ x closure over the DIA operator."""
-    matvec_padded, to_padded, from_padded = make_dia_spmv_padded(dia, tile)
-
-    @jax.jit
-    def matvec(x):
-        return from_padded(matvec_padded(to_padded(x)))
-
-    return matvec
+    """Returns y = A @ x on plain [n] vectors (single-shot convenience)."""
+    return PallasDiaSpMV(dia, tile).matvec

@@ -82,11 +82,14 @@ def make_sharded_matvec(part: PartitionedOperator, mesh: Mesh,
     fn = shard_map(body, mesh=mesh,
                    in_specs=(spec, spec, spec, spec, spec, spec),
                    out_specs=spec)
+    # operator arrays are jit *arguments*, not closure constants — closures
+    # inline large arrays into the compiled program on remote-compile
+    # backends (see bench.py backend notes)
+    jfn = jax.jit(fn)
 
-    @jax.jit
     def matvec(x_sharded):
-        return fn(part.rows_local, part.cols_ext, part.cols_global,
-                  part.vals, part.mask, x_sharded)
+        return jfn(part.rows_local, part.cols_ext, part.cols_global,
+                   part.vals, part.mask, x_sharded)
 
     return matvec
 
@@ -123,17 +126,23 @@ def make_sharded_jacobi(part: PartitionedOperator, mesh: Mesh,
 
     spec = P(axis)
 
-    def run(b, x, d, omega, n_iters):
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def jrun(rows_l, cols_e, cols_g, vals, mask, b, x, d, omega_arr,
+             n_iters):
         fn = shard_map(
             partial(body, n_iters=n_iters), mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec, spec, spec, spec,
                       P(None)),
             out_specs=spec)
-        omega_arr = jnp.asarray([[omega]], part.vals.dtype)
-        return fn(part.rows_local, part.cols_ext, part.cols_global,
-                  part.vals, part.mask, b, x, d, omega_arr)
+        return fn(rows_l, cols_e, cols_g, vals, mask, b, x, d, omega_arr)
 
-    return jax.jit(run, static_argnames=("n_iters",))
+    def run(b, x, d, omega, n_iters):
+        omega_arr = jnp.asarray([[omega]], part.vals.dtype)
+        return jrun(part.rows_local, part.cols_ext, part.cols_global,
+                    part.vals, part.mask, b, x, d, omega_arr,
+                    n_iters=n_iters)
+
+    return run
 
 
 def make_sharded_power_method(part: PartitionedOperator, mesh: Mesh,
@@ -176,16 +185,20 @@ def make_sharded_power_method(part: PartitionedOperator, mesh: Mesh,
 
     spec = P(axis)
 
-    def run(b0, n_iters):
+    @partial(jax.jit, static_argnames=("n_iters",))
+    def jrun(rows_l, cols_e, cols_g, vals, mask, b0, n_iters):
         fn = shard_map(
             partial(body, n_iters=n_iters), mesh=mesh,
             in_specs=(spec, spec, spec, spec, spec, spec),
             out_specs=(spec, spec))
-        lam, b = fn(part.rows_local, part.cols_ext, part.cols_global,
-                    part.vals, part.mask, b0)
+        lam, b = fn(rows_l, cols_e, cols_g, vals, mask, b0)
         return lam[0], b
 
-    return jax.jit(run, static_argnames=("n_iters",))
+    def run(b0, n_iters):
+        return jrun(part.rows_local, part.cols_ext, part.cols_global,
+                    part.vals, part.mask, b0, n_iters=n_iters)
+
+    return run
 
 
 def make_sharded_norm(part: PartitionedOperator, mesh: Mesh,
