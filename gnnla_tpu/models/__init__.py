@@ -7,7 +7,8 @@ from gnnla_tpu.models.chebyshev import chebyshev, chebyshev_gnn
 from gnnla_tpu.models.power_method import power_method, power_method_gnn
 from gnnla_tpu.models.soc import soc_classic, soc_sa, soc_classic_blocks
 from gnnla_tpu.models.direct_interp import direct_interp
-from gnnla_tpu.models.vcycle import TwoGridSetup, setup_twogrid, vcycle, solve
+from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
+    setup_with_dia, vcycle, solve)
 
 __all__ = [
     "matvec", "matvec_gnn", "MatVecBlock",

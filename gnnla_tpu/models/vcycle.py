@@ -130,6 +130,28 @@ def setup_twogrid(A: SparseOperator, *, theta: float = 0.25,
                         coarse_flags=jnp.asarray(coarse))
 
 
+def setup_with_dia(setup: TwoGridSetup,
+                   max_offsets: int = 512) -> TwoGridSetup:
+    """Swap A (and Ac when banded enough) for DIA twins — the TPU fast
+    path. Every kernel the cycle calls uses only the matvec/diagonal
+    protocol, which `DIAOperator` satisfies, so the same `vcycle` runs
+    unchanged ~2 orders of magnitude faster on structured operators
+    (DIA = shifted contiguous reads vs the COO gather/scatter path; see
+    ops/dia.py and bench.py). P stays COO (rectangular, needs rmatvec)."""
+    from gnnla_tpu.ops.dia import to_dia
+
+    def try_dia(op):
+        if not isinstance(op, SparseOperator):
+            return op  # already DIA
+        try:
+            return to_dia(op, max_offsets)
+        except ValueError:
+            return op  # too irregular — keep the gather path
+
+    return dataclasses.replace(setup, A=try_dia(setup.A),
+                               Ac=try_dia(setup.Ac))
+
+
 def vcycle(setup: TwoGridSetup, b, x, *, n_pre: int = 3, n_post: int = 3,
            omega: float = 0.7, coarse_deg: int = 4, coarse_c: float = -3.4,
            coarse_d: float = -4.0) -> jnp.ndarray:

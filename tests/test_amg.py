@@ -155,3 +155,24 @@ def test_setup_host_matches_device_gnn():
     np.testing.assert_allclose(np.asarray(s_host.Ac.to_dense()),
                                np.asarray(s_dev.Ac.to_dense()),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_vcycle_dia_fast_path_matches(A, rng):
+    """DIA-swapped setup runs the same cycle (matvec-protocol polymorphism)
+    and matches the COO path to float tolerance."""
+    from gnnla_tpu.models import setup_with_dia
+    b = jnp.asarray(rng.random(N * N), jnp.float32)
+    x0 = jnp.asarray(rng.random(N * N), jnp.float32)
+    setup = setup_twogrid(A, theta=0.25, splitting="cljp", seed=0)
+    setup_dia = setup_with_dia(setup)
+
+    x_coo = vcycle(setup, b, x0, n_pre=2, n_post=2, coarse_deg=3)
+    x_dia = vcycle(setup_dia, b, x0, n_pre=2, n_post=2, coarse_deg=3)
+    np.testing.assert_allclose(np.asarray(x_dia), np.asarray(x_coo),
+                               rtol=1e-4, atol=1e-5)
+
+    # and it stays jittable with the swapped pytree
+    x_jit = jax.jit(lambda s, b, x: vcycle(s, b, x, n_pre=2, n_post=2,
+                                           coarse_deg=3))(setup_dia, b, x0)
+    np.testing.assert_allclose(np.asarray(x_jit), np.asarray(x_dia),
+                               rtol=1e-5, atol=1e-6)
