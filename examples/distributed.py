@@ -1,0 +1,52 @@
+"""Row-partitioned sharded kernels on a device mesh.
+
+No reference counterpart (the reference is single-device, SURVEY.md §2.5);
+this demonstrates the shard_map/ppermute halo-exchange SpMV, sharded Jacobi
+and the psum-reduced power method. Run with real devices or a virtual CPU
+mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/distributed.py
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from gnnla_tpu.models import jacobi, power_method
+from gnnla_tpu.parallel import (device_put_sharded, make_sharded_jacobi,
+                                make_sharded_power_method, partition_rows,
+                                shard_vector, unshard_vector)
+from gnnla_tpu.problems import laplacian_2d
+
+
+def main(n=16):
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()), axis_names=("rows",))
+    print(f"{n_dev} devices: {jax.devices()}")
+
+    A = laplacian_2d(n)
+    part = partition_rows(A, n_dev)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.random(n * n), jnp.float32)
+    x0 = jnp.asarray(rng.random(n * n), jnp.float32)
+
+    bs = device_put_sharded(shard_vector(b, part), mesh)
+    xs = device_put_sharded(shard_vector(x0, part), mesh)
+    ds = device_put_sharded(shard_vector(A.diagonal(), part), mesh)
+
+    jac = make_sharded_jacobi(part, mesh)
+    out = unshard_vector(jac(bs, xs, ds, 0.7, 10), part)
+    ref = jacobi(A, b, x0, omega=0.7, n_iters=10)
+    print(f"sharded jacobi rel err vs single-device: "
+          f"{float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref)):.3e}")
+
+    pm = make_sharded_power_method(part, mesh)
+    lam, _ = pm(device_put_sharded(shard_vector(x0, part), mesh), 30)
+    lam_ref, _ = power_method(A, x0, n_iters=30)
+    print(f"sharded power method: {float(lam):.6f} "
+          f"vs single-device {float(lam_ref):.6f}")
+
+
+if __name__ == "__main__":
+    main()
