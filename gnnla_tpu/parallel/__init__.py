@@ -1,9 +1,12 @@
 from gnnla_tpu.parallel.partition import (
     PartitionedOperator, partition_rows, shard_vector, unshard_vector)
+from gnnla_tpu.parallel.distributed import (initialize_distributed,
+                                             global_row_mesh, grid_mesh)
 from gnnla_tpu.parallel.spmv import (
     make_sharded_matvec, make_sharded_jacobi, make_sharded_norm,
     make_sharded_power_method, device_put_sharded)
 
 __all__ = ["PartitionedOperator", "partition_rows", "shard_vector",
            "unshard_vector", "make_sharded_matvec", "make_sharded_jacobi",
-           "make_sharded_norm", "make_sharded_power_method", "device_put_sharded"]
+           "make_sharded_norm", "make_sharded_power_method", "device_put_sharded",
+           "initialize_distributed", "global_row_mesh", "grid_mesh"]

@@ -1,0 +1,58 @@
+"""Multi-host bring-up helpers.
+
+The reference has no distributed backend at all (SURVEY.md §2.5 — no
+torch.distributed/NCCL/MPI anywhere); this is the TPU-native layer that
+takes the single-host `Mesh`/`shard_map` kernels in `gnnla_tpu.parallel`
+across hosts: `jax.distributed.initialize` + a global mesh spanning every
+process's devices. Intra-slice traffic rides ICI; cross-host DCN is handled
+by the runtime — the kernels themselves are unchanged because the
+collectives (`ppermute`, `psum`, `all_gather`) are expressed on mesh axis
+names, not physical links.
+
+Single-host (including the forced-multi-device CPU platform used in CI)
+works through the same entry points with `initialize_distributed` skipped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """`jax.distributed.initialize` with TPU-pod auto-detection.
+
+    On TPU pods all three arguments are discovered from the environment;
+    pass them explicitly for CPU/GPU multi-process runs. Call exactly once
+    per process, before any jax computation.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def global_row_mesh(axis: str = "rows") -> Mesh:
+    """1-D mesh over every device of every process — the layout the
+    row-partitioned kernels expect. Devices are ordered process-major so
+    ring `ppermute` neighbors are ICI neighbors within a host."""
+    return Mesh(np.asarray(jax.devices()), axis_names=(axis,))
+
+
+def grid_mesh(shape: Sequence[int],
+              axis_names: Sequence[str] = ("data", "rows")) -> Mesh:
+    """N-D mesh (e.g. data-parallel x row-sharded) over all devices."""
+    devs = np.asarray(jax.devices())
+    if int(np.prod(shape)) != devs.size:
+        raise ValueError(f"mesh shape {tuple(shape)} needs "
+                         f"{int(np.prod(shape))} devices, have {devs.size}")
+    return Mesh(devs.reshape(tuple(shape)), axis_names=tuple(axis_names))

@@ -176,3 +176,14 @@ def test_vcycle_dia_fast_path_matches(A, rng):
                                            coarse_deg=3))(setup_dia, b, x0)
     np.testing.assert_allclose(np.asarray(x_jit), np.asarray(x_dia),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_split_empty_strength_no_crash():
+    """Splitting an all-zero strength matrix: every point is isolated ->
+    all fine, no coarse points, no crash (edge case from the verify
+    recipe)."""
+    S = sp.csr_matrix((9, 9))
+    for method in ("cljp", "pmis"):
+        out = split(S, method=method, seed=0)
+        assert out.shape == (9,)
+        assert out.sum() == 0

@@ -100,3 +100,13 @@ def test_sharded_power_method_matches(A, mesh, rng):
     bs = device_put_sharded(shard_vector(b0, part), mesh)
     lam, b = pm(bs, 30)
     np.testing.assert_allclose(float(lam), float(lam_ref), rtol=1e-4)
+
+
+def test_mesh_helpers():
+    from gnnla_tpu.parallel import global_row_mesh, grid_mesh
+    m = global_row_mesh()
+    assert m.devices.size == 8 and m.axis_names == ("rows",)
+    m2 = grid_mesh((2, 4))
+    assert m2.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        grid_mesh((3, 3))

@@ -158,3 +158,24 @@ def test_train_diffusion_smoke(tmp_path):
     params, history = train_diffusion(cfg)
     assert history["train_loss"][-1] < history["train_loss"][0]
     assert history["test_loss"] is not None
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore roundtrip + best-step tracking (replaces
+    Lightning ModelCheckpoint, reference DiffCoeffs/train.py:174-177)."""
+    import jax.numpy as jnp
+    from gnnla_tpu.training.checkpoints import CheckpointManager
+
+    state = {"w": jnp.arange(4.0), "b": jnp.ones(2)}
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state, metrics={"val_loss": 1.0})
+    mgr.save(1, {"w": state["w"] * 2, "b": state["b"]},
+             metrics={"val_loss": 0.5})
+    mgr.save(2, {"w": state["w"] * 3, "b": state["b"]},
+             metrics={"val_loss": 0.8})
+    assert mgr.latest_step() == 2
+    assert mgr.best_step() == 1
+    restored = mgr.restore(1, template=state)
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.asarray(state["w"]) * 2)
+    mgr.close()
