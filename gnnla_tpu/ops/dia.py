@@ -83,6 +83,29 @@ class DIAOperator:
         return self.diags[k]
 
 
+def dia_transpose(dia: DIAOperator) -> DIAOperator:
+    """A^T in DIA form: AT_diag[offset m][i] = A_diag[offset -m][i + m].
+
+    Pure shifts of the stored diagonals — used by the Pallas SpMV custom
+    VJP (the cotangent of y = A x w.r.t. x is A^T ybar, itself a DIA SpMV).
+    """
+    k, n = dia.diags.shape
+    new_offsets = tuple(-o for o in reversed(dia.offsets))
+    rows = []
+    for m in new_offsets:
+        src = dia.diags[dia.offsets.index(-m)]
+        if m == 0:
+            rows.append(src)
+        elif m > 0:
+            rows.append(jnp.concatenate(
+                [src[m:], jnp.zeros((m,), src.dtype)]))
+        else:
+            rows.append(jnp.concatenate(
+                [jnp.zeros((-m,), src.dtype), src[:m]]))
+    return DIAOperator(diags=jnp.stack(rows), offsets=new_offsets, n=dia.n,
+                       nnz=dia.nnz)
+
+
 def to_dia(op: SparseOperator,
            max_offsets: Optional[int] = 4096) -> DIAOperator:
     """Convert a banded SparseOperator to DIA (host-side setup).

@@ -127,22 +127,52 @@ class PallasDiaSpMV:
     embedding in your own jit/scan, call `apply(self.diags, x_pad)` with
     diags passed through your function's parameters.
 
-    apply(diags, x_pad) : pure function, safe to use inside jit/scan
-    diags               : [K, n_pad] padded diagonal data (device array)
+    apply(op_args, x_pad) : pure differentiable-in-x function, safe to use
+                            inside jit/scan/grad; VJP is the transposed
+                            DIA SpMV
+    op_args               : (diags [K, n_pad], diags_T) device arrays —
+                            pass through your jit's parameters
     to_padded / from_padded : [n] <-> [T + n_pad + T] layout converters
-    matvec(x)           : convenience single-shot y = A @ x on [n] vectors
+    matvec(x)             : convenience single-shot y = A @ x on [n]
     """
 
     def __init__(self, dia: DIAOperator, tile: int):
+        from gnnla_tpu.ops.dia import dia_transpose
+
         call, diags, tile, n_pad, total = _build_padded_call(dia, tile)
+        dia_t = dia_transpose(dia)
+        call_t, diags_t, _, _, _ = _build_padded_call(dia_t, tile)
         self.diags = diags
+        self.diags_t = diags_t
         self.tile = tile
         self.n_pad = n_pad
         self.total = total
         self.n = dia.n
         self.nnz = dia.nnz
-        self.apply = call                     # (diags, x_pad) -> y_pad
-        self._japply = jax.jit(lambda d, x: call(d, x))
+        self._raw_call = call
+        self._raw_call_t = call_t
+
+        # Differentiable (w.r.t. x) apply: the VJP of y = A x is
+        # xbar = A^T ybar — another DIA SpMV on the transposed diagonals.
+        # op_args = (diags, diags_t) is threaded as an explicit argument
+        # (never a closure constant — see the class docstring); it carries
+        # zero cotangent (operator values are trained through the jnp
+        # DIAOperator path, not pallas).
+        @jax.custom_vjp
+        def apply(op_args, x_pad):
+            return call(op_args[0], x_pad)
+
+        def fwd(op_args, x_pad):
+            return call(op_args[0], x_pad), op_args[1]
+
+        def bwd(d_t, ybar):
+            return ((jnp.zeros_like(d_t), jnp.zeros_like(d_t)),
+                    call_t(d_t, ybar))
+
+        apply.defvjp(fwd, bwd)
+        self.op_args = (diags, diags_t)
+        self.apply = apply                  # (op_args, x_pad) -> y_pad
+        self._japply = jax.jit(apply)
 
     def to_padded(self, x):
         return jnp.zeros((self.total,), x.dtype).at[
@@ -152,7 +182,7 @@ class PallasDiaSpMV:
         return x_pad[self.tile:self.tile + self.n]
 
     def matvec_padded(self, x_pad):
-        return self._japply(self.diags, x_pad)
+        return self._japply(self.op_args, x_pad)
 
     def matvec(self, x):
         return self.from_padded(self.matvec_padded(self.to_padded(x)))

@@ -193,6 +193,20 @@ class SparseOperator:
             products = gathered * self.vals
         return segment_sum(products, self.cols, self.n_cols, sorted=False)
 
+    def sddmm(self, U: Array, V: Array) -> Array:
+        """Sampled dense-dense matmul: e_k = <U[rows_k], V[cols_k]>.
+
+        Returns the per-edge values of (U @ V^T) sampled on this pattern —
+        the standard GNN companion kernel to SpMM (FusedMM-style fusion:
+        XLA fuses the two gathers with the contraction into one pass).
+        U: [n_rows, F], V: [n_cols, F] -> [nnz].
+        """
+        if U.ndim == 1:
+            U = U[:, None]
+        if V.ndim == 1:
+            V = V[:, None]
+        return jnp.sum(U[self.rows] * V[self.cols], axis=-1)
+
     def diagonal(self) -> Array:
         """Dense diagonal vector (zeros where the diagonal is not stored)."""
         n = min(self.shape)

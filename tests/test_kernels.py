@@ -217,3 +217,21 @@ def test_jittability(A, rng):
     for fn, args in ((f, (A, b, x)), (g, (A, b, x)), (h, (A, b))):
         out = fn(*args)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sddmm_matches_dense(rng):
+    """e_k = <U[i_k], V[j_k]> vs the dense product sampled on the pattern."""
+    from gnnla_tpu.problems import laplacian_2d
+    A = laplacian_2d(5)
+    U = jnp.asarray(rng.random((25, 4)), jnp.float32)
+    V = jnp.asarray(rng.random((25, 4)), jnp.float32)
+    e = A.sddmm(U, V)
+    rows, cols, _ = A.host_coo()
+    dense = np.asarray(U, np.float64) @ np.asarray(V, np.float64).T
+    np.testing.assert_allclose(np.asarray(e), dense[rows, cols], rtol=1e-5)
+    # vector case
+    u = jnp.asarray(rng.random(25), jnp.float32)
+    e1 = A.sddmm(u, u)
+    np.testing.assert_allclose(np.asarray(e1),
+                               np.asarray(u)[rows] * np.asarray(u)[cols],
+                               rtol=1e-6)

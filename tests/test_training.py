@@ -179,3 +179,15 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(restored["w"]),
                                np.asarray(state["w"]) * 2)
     mgr.close()
+
+
+def test_cli_grid_listing(capsys):
+    """CLI grid slicing (reference parsing.py:42-65 semantics)."""
+    from gnnla_tpu import cli
+    assert cli.main(["diffusion", "--num-combos"]) == 0
+    out = capsys.readouterr().out
+    assert "5 total combinations" in out
+    assert cli.main(["diffusion", "--full-grid", "--num-combos"]) == 0
+    assert "432 total combinations" in capsys.readouterr().out
+    assert cli.main(["diffusion", "--show-combos"]) == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 5
