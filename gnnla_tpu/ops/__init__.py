@@ -3,6 +3,10 @@ from gnnla_tpu.ops.segment import (
     segment_sum, segment_mean, segment_max, segment_min,
     segment_reduce, multi_segment_reduce,
 )
+from gnnla_tpu.ops.dia import DIAOperator, to_dia, dia_transpose
+from gnnla_tpu.ops.bsr import BSROperator, to_bsr, rcm_permutation, permute
 
 __all__ = ["SparseOperator", "segment_sum", "segment_mean", "segment_max",
-           "segment_min", "segment_reduce", "multi_segment_reduce"]
+           "segment_min", "segment_reduce", "multi_segment_reduce",
+           "DIAOperator", "to_dia", "dia_transpose", "BSROperator",
+           "to_bsr", "rcm_permutation", "permute"]
