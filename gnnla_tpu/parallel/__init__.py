@@ -2,6 +2,8 @@ from gnnla_tpu.parallel.partition import (
     PartitionedOperator, partition_rows, shard_vector, unshard_vector)
 from gnnla_tpu.parallel.distributed import (initialize_distributed,
                                              global_row_mesh, grid_mesh)
+from gnnla_tpu.parallel.vcycle import (make_sharded_vcycle,
+                                       partition_rows_rect)
 from gnnla_tpu.parallel.spmv import (
     make_sharded_matvec, make_sharded_jacobi, make_sharded_norm,
     make_sharded_power_method, device_put_sharded)
@@ -9,4 +11,5 @@ from gnnla_tpu.parallel.spmv import (
 __all__ = ["PartitionedOperator", "partition_rows", "shard_vector",
            "unshard_vector", "make_sharded_matvec", "make_sharded_jacobi",
            "make_sharded_norm", "make_sharded_power_method", "device_put_sharded",
-           "initialize_distributed", "global_row_mesh", "grid_mesh"]
+           "initialize_distributed", "global_row_mesh", "grid_mesh",
+           "make_sharded_vcycle", "partition_rows_rect"]

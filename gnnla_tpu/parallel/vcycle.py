@@ -1,0 +1,175 @@
+"""Distributed two-grid V-cycle under `shard_map`.
+
+The flagship composition (models/vcycle.py), scaled over a device mesh:
+
+  * A is row-block partitioned (parallel/partition.py); smoothing and the
+    residual run shard-locally with ring `ppermute` halo exchange,
+  * P is row-partitioned with the same row blocks; restriction
+    rc = P^T r is a per-shard scatter over *coarse* indices followed by a
+    `psum` (each shard owns a row slice of P, contributions sum across the
+    mesh), after which rc is replicated on every device,
+  * the coarse-grid Chebyshev solve runs replicated (the coarse space is
+    small — redundant compute beats communicating it),
+  * prolongation x += P xc is shard-local (xc is replicated).
+
+No reference counterpart (the reference is single-device, SURVEY.md §2.5).
+Numerics match the single-device `vcycle` exactly; tests assert parity on
+the virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gnnla_tpu.models.chebyshev import chebyshev
+from gnnla_tpu.models.vcycle import TwoGridSetup
+from gnnla_tpu.ops.segment import segment_sum
+from gnnla_tpu.ops.sparse import SparseOperator
+from gnnla_tpu.parallel.partition import PartitionedOperator, partition_rows
+from gnnla_tpu.parallel.spmv import _halo_exchange
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PartitionedRect:
+    """Row-block sharded rectangular operator (prolongation P [n, nc])."""
+
+    rows_local: Array   # [S, E] int32
+    cols_global: Array  # [S, E] int32 (coarse index — small, replicated)
+    vals: Array         # [S, E]
+    mask: Array         # [S, E] bool
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
+
+
+def partition_rows_rect(op: SparseOperator, n_shards: int,
+                        rows_per_shard: int) -> PartitionedRect:
+    """Partition a rectangular operator by the same row blocks as its
+    square companion (host-side setup)."""
+    rows, cols, vals = op.host_coo()
+    rps = rows_per_shard
+    shard_of = rows // rps
+    e_max = max(int(np.max(np.bincount(shard_of, minlength=n_shards))), 1)
+
+    r_l = np.zeros((n_shards, e_max), dtype=np.int64)
+    c_g = np.zeros((n_shards, e_max), dtype=np.int64)
+    v = np.zeros((n_shards, e_max), dtype=np.float64)
+    m = np.zeros((n_shards, e_max), dtype=bool)
+    for s in range(n_shards):
+        sel = shard_of == s
+        k = int(sel.sum())
+        r_l[s, :k] = rows[sel] - s * rps
+        c_g[s, :k] = cols[sel]
+        v[s, :k] = vals[sel]
+        m[s, :k] = True
+    return PartitionedRect(
+        rows_local=jnp.asarray(r_l, jnp.int32),
+        cols_global=jnp.asarray(c_g, jnp.int32),
+        vals=jnp.asarray(v, op.vals.dtype),
+        mask=jnp.asarray(m),
+        n_cols=op.shape[1], rows_per_shard=rps)
+
+
+def make_sharded_vcycle(setup: TwoGridSetup, mesh: Mesh,
+                        axis: str = "rows", *, n_pre: int = 3,
+                        n_post: int = 3, omega: float = 0.7,
+                        coarse_deg: int = 4, coarse_c: float = -3.4,
+                        coarse_d: float = -4.0):
+    """Returns (cycle_fn, part) where cycle_fn(b_sh, x_sh) runs one
+    distributed V-cycle on [S, R]-sharded vectors.
+
+    `setup` must carry COO operators (build with `setup_twogrid`, not the
+    DIA-swapped variant — partitioning reads the COO pattern).
+    """
+    if not isinstance(setup.A, SparseOperator):
+        raise ValueError("make_sharded_vcycle needs a COO TwoGridSetup "
+                         "(use setup_twogrid without setup_with_dia)")
+    n_shards = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    part = partition_rows(setup.A, n_shards)
+    part_p = partition_rows_rect(setup.P, n_shards, part.rows_per_shard)
+    rps, halo = part.rows_per_shard, part.halo
+    use_halo = part.halo_reach <= 1
+    nc = part_p.n_cols
+    Ac = setup.Ac
+
+    from gnnla_tpu.parallel.partition import shard_vector
+    d_blocks = shard_vector(setup.diag, part)
+
+    def body(rows_l, cols_e, cols_g, vals, mask, p_rows, p_cols, p_vals,
+             p_mask, ac_rows, ac_cols, ac_vals, ac_ptr, b, x, d):
+        rows_l, cols_e, cols_g = rows_l[0], cols_e[0], cols_g[0]
+        vals, mask = vals[0], mask[0]
+        p_rows, p_cols = p_rows[0], p_cols[0]
+        p_vals, p_mask = p_vals[0], p_mask[0]
+        b, x, d = b[0], x[0], d[0]
+        d_safe = jnp.where(d == 0, jnp.ones_like(d), d)
+
+        def spmv(x_local):
+            if use_halo:
+                x_ext = _halo_exchange(x_local, halo, axis)
+                prod = jnp.where(mask, vals * x_ext[cols_e], 0.0)
+            else:
+                x_full = jax.lax.all_gather(x_local, axis, tiled=True)
+                prod = jnp.where(mask, vals * x_full[cols_g], 0.0)
+            return segment_sum(prod, rows_l, rps, sorted=True)
+
+        def smooth(x, n_iters):
+            def step(x, _):
+                return x + omega * (b - spmv(x)) / d_safe, None
+            x, _ = jax.lax.scan(step, x, None, length=n_iters)
+            return x
+
+        x = smooth(x, n_pre)
+
+        # restriction: rc = P^T r, summed across shards
+        r = b - spmv(x)
+        rc_part = segment_sum(jnp.where(p_mask, p_vals * r[p_rows], 0.0),
+                              p_cols, nc)
+        rc = jax.lax.psum(rc_part, axis)
+
+        # coarse solve, replicated on every device
+        ac = SparseOperator(rows=ac_rows, cols=ac_cols, vals=ac_vals,
+                            row_ptr=ac_ptr, shape=(nc, nc))
+        xc = chebyshev(ac, rc, jnp.zeros_like(rc), c=coarse_c, d=coarse_d,
+                       deg=coarse_deg)
+
+        # prolongation: shard-local rows of P against replicated xc
+        x = x + segment_sum(
+            jnp.where(p_mask, p_vals * xc[p_cols], 0.0), p_rows, rps,
+            sorted=True)
+
+        x = smooth(x, n_post)
+        return x[None]
+
+    spec = P(axis)
+    repl = P(None)
+
+    @jax.jit
+    def jrun(part_args, p_args, ac_args, b, x, d):
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(spec,) * 5 + (spec,) * 4 + (repl,) * 4
+            + (spec, spec, spec),
+            out_specs=spec)
+        return fn(*part_args, *p_args, *ac_args, b, x, d)
+
+    part_args = (part.rows_local, part.cols_ext, part.cols_global,
+                 part.vals, part.mask)
+    p_args = (part_p.rows_local, part_p.cols_global, part_p.vals,
+              part_p.mask)
+    ac_args = (Ac.rows, Ac.cols, Ac.vals, Ac.row_ptr)
+
+    def cycle(b_sharded, x_sharded):
+        return jrun(part_args, p_args, ac_args, b_sharded, x_sharded,
+                    d_blocks)
+
+    return cycle, part

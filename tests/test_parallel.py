@@ -110,3 +110,32 @@ def test_mesh_helpers():
     assert m2.devices.shape == (2, 4)
     with pytest.raises(ValueError):
         grid_mesh((3, 3))
+
+
+def test_sharded_vcycle_matches_single_device(A, mesh, rng):
+    """The distributed two-grid cycle reproduces the single-device vcycle
+    bit-for-tolerance on the virtual 8-device mesh."""
+    from gnnla_tpu.models import setup_twogrid, vcycle
+    from gnnla_tpu.parallel import make_sharded_vcycle
+
+    setup = setup_twogrid(A, theta=0.25, splitting="cljp", seed=0)
+    b = jnp.asarray(rng.random(256), jnp.float32)
+    x0 = jnp.asarray(rng.random(256), jnp.float32)
+
+    cycle, part = make_sharded_vcycle(setup, mesh, n_pre=2, n_post=2,
+                                      coarse_deg=3)
+    bs = device_put_sharded(shard_vector(b, part), mesh)
+    xs = device_put_sharded(shard_vector(x0, part), mesh)
+    out = cycle(bs, xs)
+    x_ref = vcycle(setup, b, x0, n_pre=2, n_post=2, coarse_deg=3)
+    np.testing.assert_allclose(unshard_vector(out, part), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # three chained distributed cycles keep matching
+    xs2 = out
+    x_ref2 = x_ref
+    for _ in range(2):
+        xs2 = cycle(bs, xs2)
+        x_ref2 = vcycle(setup, b, x_ref2, n_pre=2, n_post=2, coarse_deg=3)
+    np.testing.assert_allclose(unshard_vector(xs2, part),
+                               np.asarray(x_ref2), rtol=1e-3, atol=1e-4)
