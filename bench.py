@@ -130,13 +130,35 @@ def main():
               file=sys.stderr)
         pallas_eps = 0.0
 
+    # bf16 diagonal storage halves the dominant HBM stream; counts toward
+    # the headline only when bit-exact on this matrix (the Laplacian's
+    # values are bf16-representable, so it is)
+    pallas16_eps = 0.0
+    try:
+        pmv16 = make_dia_spmv_padded(dia, diag_dtype=jnp.bfloat16)
+        probe = jnp.asarray(
+            np.linspace(-1.0, 1.0, op.n_rows, dtype=np.float32))
+        exact = bool(jnp.all(pmv16.matvec(probe) == pmv.matvec(probe)))
+        if exact:
+            pallas16_eps = _bench(pmv16.apply, pmv16.op_args,
+                                  pmv16.to_padded(x0), pmv16.nnz, n_iters,
+                                  n_chain=10)
+            print(f"dia/pallas-bf16: {pallas16_eps:.3e} edges/s (exact)",
+                  file=sys.stderr)
+        else:
+            print("dia/pallas-bf16: not exact on this matrix; excluded",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"dia/pallas-bf16 unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # COO path is ~2 orders slower on TPU (scatter-bound): fewer iterations
     # keep its share of the wall-time bounded without hurting signal.
     coo_eps = _bench(lambda o, x: o.matvec(x), op, x0, op.nnz,
                      max(5, n_iters // 100), n_chain=1)
     print(f"coo/segment-sum: {coo_eps:.3e} edges/s", file=sys.stderr)
 
-    tpu_edges_s = max(coo_eps, dia_eps, pallas_eps)
+    tpu_edges_s = max(coo_eps, dia_eps, pallas_eps, pallas16_eps)
     cpu_edges_s = bench_cpu_reference(op_raw.to_scipy(), n_iters=10)
     print(f"cpu reference:   {cpu_edges_s:.3e} edges/s", file=sys.stderr)
 

@@ -9,6 +9,8 @@ from gnnla_tpu.models.soc import soc_classic, soc_sa, soc_classic_blocks
 from gnnla_tpu.models.direct_interp import direct_interp
 from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
     setup_with_dia, vcycle, solve)
+from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
+    multigrid_cycle, multigrid_solve)
 
 __all__ = [
     "matvec", "matvec_gnn", "MatVecBlock",

@@ -1,0 +1,144 @@
+"""Multilevel AMG V/W-cycles — beyond the reference's two-grid.
+
+The reference composes exactly two grids (pytorch/VCycle.py:175-237,
+matlab/test_vcycle.m); the natural completion is the recursive hierarchy:
+apply the same SOC -> C/F split -> direct interpolation -> Galerkin setup
+level by level until the coarsest grid is small, then run V- (or W-) cycles
+over the whole hierarchy. Setup is host-phase like `setup_twogrid`; the
+cycle is a pure jittable function (the recursion over levels is static, so
+it traces to one program).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnnla_tpu.models.chebyshev import chebyshev
+from gnnla_tpu.models.jacobi import jacobi
+from gnnla_tpu.models.residual import residual
+from gnnla_tpu.models.vcycle import setup_twogrid
+from gnnla_tpu.ops.sparse import SparseOperator
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultigridSetup:
+    """Hierarchy of fixed-pattern operators (a jittable pytree).
+
+    As    : operators per level (len L; finest first)
+    Ps    : prolongations between levels (len L-1)
+    diags : smoother diagonals per level (len L; level 0 may be a trained
+            Jacobi diagonal)
+    """
+
+    As: Tuple[SparseOperator, ...]
+    Ps: Tuple[SparseOperator, ...]
+    diags: Tuple[jax.Array, ...]
+    # Chebyshev interval for the coarsest solve, from the coarsest
+    # operator's spectrum at setup (the reference's fixed c=-3.4, d=-4.0
+    # are bounds for the *finest* Laplacian only and diverge on deeper
+    # Galerkin operators)
+    coarse_c: float = dataclasses.field(default=-3.4,
+                                        metadata=dict(static=True))
+    coarse_d: float = dataclasses.field(default=-4.0,
+                                        metadata=dict(static=True))
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.As)
+
+
+def setup_multigrid(A: SparseOperator, *, theta: float = 0.25,
+                    splitting: str = "cljp", seed: int = 0,
+                    min_coarse: int = 16, max_levels: int = 12,
+                    diag: Optional[jax.Array] = None) -> MultigridSetup:
+    """Recursive AMG setup: two-grid setup per level until the coarsest
+    operator is small (or coarsening stalls)."""
+    import numpy as np
+
+    As, Ps, diags = [], [], []
+    current = A
+    d = diag
+    for _ in range(max_levels - 1):
+        if current.n_rows <= min_coarse:
+            break
+        tg = setup_twogrid(current, theta=theta, splitting=splitting,
+                           seed=seed, diag=d)
+        # hierarchy health checks: classical direct interpolation assumes
+        # an M-matrix-like operator; deeper Galerkin operators drift out of
+        # that regime and the weights/values blow up. Stop coarsening when
+        # (a) coarsening stalls, (b) interpolation weights are extreme, or
+        # (c) the coarse operator's magnitude jumps — a shallower healthy
+        # hierarchy beats a deep unstable one.
+        if tg.Ac.n_rows >= 0.95 * current.n_rows or tg.Ac.n_rows == 0:
+            break
+        w_max = float(np.max(np.abs(tg.P.host_coo()[2])))
+        cur_max = float(np.max(np.abs(current.host_coo()[2])))
+        new_max = float(np.max(np.abs(tg.Ac.host_coo()[2])))
+        if w_max > 10.0 or new_max > 25.0 * cur_max:
+            break
+        As.append(current)
+        Ps.append(tg.P)
+        diags.append(tg.diag)
+        current = tg.Ac
+        d = None  # trained diagonal applies to the finest level only
+    As.append(current)
+    diags.append(current.diagonal())
+
+    # Chebyshev interval for the coarsest solve from its actual spectrum
+    # (host dense eig — the coarsest operator is small by construction)
+    evals = np.linalg.eigvals(np.asarray(current.to_scipy().todense()))
+    lmin, lmax = float(np.min(evals.real)), float(np.max(evals.real))
+    spread = max(lmax - lmin, 1e-12)
+    coarse_d = 0.5 * (lmax + lmin)
+    coarse_c = 0.5 * spread
+    return MultigridSetup(As=tuple(As), Ps=tuple(Ps), diags=tuple(diags),
+                          coarse_c=coarse_c, coarse_d=coarse_d)
+
+
+def multigrid_cycle(setup: MultigridSetup, b, x, *, n_pre: int = 3,
+                    n_post: int = 3, omega: float = 0.7,
+                    coarse_deg: int = 8, coarse_c: Optional[float] = None,
+                    coarse_d: Optional[float] = None,
+                    gamma: int = 1) -> jnp.ndarray:
+    """One multilevel cycle (gamma=1: V-cycle, gamma=2: W-cycle).
+
+    The level recursion is Python-static, so the whole cycle traces into a
+    single XLA program; iterate with `lax.scan` via `multigrid_solve`.
+    """
+    b, x = jnp.ravel(b), jnp.ravel(x)
+    L = setup.n_levels
+    coarse_c = setup.coarse_c if coarse_c is None else coarse_c
+    coarse_d = setup.coarse_d if coarse_d is None else coarse_d
+
+    def cycle(level, b, x):
+        A, d = setup.As[level], setup.diags[level]
+        if level == L - 1:
+            return chebyshev(A, b, x, c=coarse_c, d=coarse_d,
+                             deg=coarse_deg)
+        x = jacobi(A, b, x, omega=omega, n_iters=n_pre, diag=d)
+        P = setup.Ps[level]
+        for _ in range(gamma):
+            r = residual(A, b, x)
+            rc = P.rmatvec(r)
+            xc = cycle(level + 1, rc, jnp.zeros_like(rc))
+            x = x + P.matvec(xc)
+        return jacobi(A, b, x, omega=omega, n_iters=n_post, diag=d)
+
+    return cycle(0, b, x)
+
+
+def multigrid_solve(setup: MultigridSetup, b, x, *, n_cycles: int,
+                    **cycle_kwargs) -> jnp.ndarray:
+    """n_cycles multilevel cycles under one `lax.scan` program."""
+    b, x = jnp.ravel(b), jnp.ravel(x)
+
+    def step(x, _):
+        return multigrid_cycle(setup, b, x, **cycle_kwargs), None
+
+    x, _ = jax.lax.scan(step, x, None, length=n_cycles)
+    return x

@@ -35,10 +35,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _build_padded_call(dia: DIAOperator, tile: int):
+def _build_padded_call(dia: DIAOperator, tile: int, diag_dtype=None):
     """pallas_call producing y_pad [T + n_pad + T] from x_pad of the same
     shape (T = tile). Grid steps 0 and G+1 zero the halo tiles; interior
-    step i computes matrix rows [(i-1)*tile, i*tile)."""
+    step i computes matrix rows [(i-1)*tile, i*tile).
+
+    diag_dtype: storage dtype for the diagonal stream (e.g. bfloat16 —
+    the diags are the dominant HBM traffic, K*n of the K*n + 2n words;
+    compute still accumulates in the x dtype). Exact for integer-valued
+    stencils; opt-in rounding for general FEM values."""
     offsets = dia.offsets
     k = len(offsets)
     n = dia.n
@@ -50,7 +55,9 @@ def _build_padded_call(dia: DIAOperator, tile: int):
     win = tile + 2 * halo
     total = n_pad + 2 * tile
 
-    diags = jnp.zeros((k, n_pad), dia.diags.dtype).at[:, :n].set(dia.diags)
+    diag_dtype = diag_dtype or dia.diags.dtype
+    diags = jnp.zeros((k, n_pad), diag_dtype).at[:, :n].set(
+        dia.diags.astype(diag_dtype))
 
     def kernel(diags_ref, xpad_hbm, y_ref, xwin0, xwin1, sem0, sem1):
         i = pl.program_id(0)
@@ -136,12 +143,14 @@ class PallasDiaSpMV:
     matvec(x)             : convenience single-shot y = A @ x on [n]
     """
 
-    def __init__(self, dia: DIAOperator, tile: int):
+    def __init__(self, dia: DIAOperator, tile: int, diag_dtype=None):
         from gnnla_tpu.ops.dia import dia_transpose
 
-        call, diags, tile, n_pad, total = _build_padded_call(dia, tile)
+        call, diags, tile, n_pad, total = _build_padded_call(
+            dia, tile, diag_dtype)
         dia_t = dia_transpose(dia)
-        call_t, diags_t, _, _, _ = _build_padded_call(dia_t, tile)
+        call_t, diags_t, _, _, _ = _build_padded_call(
+            dia_t, tile, diag_dtype)
         self.diags = diags
         self.diags_t = diags_t
         self.tile = tile
@@ -188,10 +197,15 @@ class PallasDiaSpMV:
         return self.from_padded(self.matvec_padded(self.to_padded(x)))
 
 
-def make_dia_spmv_padded(dia: DIAOperator,
-                         tile: int = 128 * 1024) -> PallasDiaSpMV:
-    """Build the padded-state Pallas SpMV (see PallasDiaSpMV)."""
-    return PallasDiaSpMV(dia, tile)
+def make_dia_spmv_padded(dia: DIAOperator, tile: int = 128 * 1024,
+                         diag_dtype=None) -> PallasDiaSpMV:
+    """Build the padded-state Pallas SpMV (see PallasDiaSpMV).
+
+    diag_dtype=jnp.bfloat16 stores the diagonal stream (the dominant HBM
+    traffic) at half width with full-precision accumulation — exact when
+    the matrix values are bf16-representable (integer stencils), opt-in
+    rounding otherwise."""
+    return PallasDiaSpMV(dia, tile, diag_dtype)
 
 
 def make_dia_spmv(dia: DIAOperator, tile: int = 128 * 1024):

@@ -1,0 +1,83 @@
+"""Multilevel AMG — the recursive completion of the reference's two-grid
+(VCycle.py:175-237)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnnla_tpu.models import (jacobi, multigrid_cycle, multigrid_solve,
+                              residual, setup_multigrid, setup_twogrid,
+                              vcycle)
+from gnnla_tpu.problems import laplacian_2d
+
+
+@pytest.fixture(scope="module")
+def A():
+    return laplacian_2d(32)  # 1024 vertices -> 3+ levels
+
+
+def test_hierarchy_depth(A):
+    setup = setup_multigrid(A, min_coarse=16)
+    assert setup.n_levels >= 3
+    sizes = [op.n_rows for op in setup.As]
+    assert all(a > b for a, b in zip(sizes, sizes[1:])), sizes
+    # hierarchy health checks stop coarsening before interpolation-weight
+    # blowup; the coarsest grid is small vs the finest either way
+    assert sizes[-1] <= sizes[0] // 4
+
+
+def test_multilevel_converges_and_beats_smoothing(A, rng):
+    b = jnp.asarray(rng.random(1024), jnp.float32)
+    x = jnp.zeros(1024, jnp.float32)
+    setup = setup_multigrid(A, min_coarse=16)
+
+    norms = [float(jnp.linalg.norm(residual(A, b, x)))]
+    for _ in range(5):
+        x = multigrid_cycle(setup, b, x, n_pre=2, n_post=2)
+        norms.append(float(jnp.linalg.norm(residual(A, b, x))))
+    assert all(n2 < n1 for n1, n2 in zip(norms, norms[1:])), norms
+
+    x_jac = jacobi(A, b, jnp.zeros(1024, jnp.float32), omega=0.7,
+                   n_iters=20)
+    assert norms[-1] < float(jnp.linalg.norm(residual(A, b, x_jac)))
+
+
+def test_two_level_multigrid_matches_vcycle(rng):
+    """A hierarchy truncated to 2 levels reproduces the two-grid cycle."""
+    A = laplacian_2d(10)
+    b = jnp.asarray(rng.random(100), jnp.float32)
+    x0 = jnp.asarray(rng.random(100), jnp.float32)
+    mg = setup_multigrid(A, min_coarse=99, max_levels=2)
+    assert mg.n_levels == 2
+    tg = setup_twogrid(A)
+    # pin the same Chebyshev interval the two-grid cycle defaults to
+    x_mg = multigrid_cycle(mg, b, x0, n_pre=3, n_post=3, coarse_deg=4,
+                           coarse_c=-3.4, coarse_d=-4.0)
+    x_tg = vcycle(tg, b, x0, n_pre=3, n_post=3, coarse_deg=4)
+    np.testing.assert_allclose(np.asarray(x_mg), np.asarray(x_tg),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_wcycle_and_scan_driver(A, rng):
+    b = jnp.asarray(rng.random(1024), jnp.float32)
+    x0 = jnp.zeros(1024, jnp.float32)
+    setup = setup_multigrid(A, min_coarse=16)
+
+    xw = multigrid_cycle(setup, b, x0, n_pre=2, n_post=2, gamma=2)
+    r0 = float(jnp.linalg.norm(b))
+    assert float(jnp.linalg.norm(residual(A, b, xw))) < r0
+
+    x_scan = multigrid_solve(setup, b, x0, n_cycles=3, n_pre=2, n_post=2)
+    x_loop = x0
+    for _ in range(3):
+        x_loop = multigrid_cycle(setup, b, x_loop, n_pre=2, n_post=2)
+    np.testing.assert_allclose(np.asarray(x_scan), np.asarray(x_loop),
+                               rtol=1e-4, atol=1e-5)
+
+    # jittable with the hierarchy as a pytree argument
+    f = jax.jit(lambda s, b, x: multigrid_cycle(s, b, x, n_pre=2, n_post=2))
+    np.testing.assert_allclose(
+        np.asarray(f(setup, b, x0)),
+        np.asarray(multigrid_cycle(setup, b, x0, n_pre=2, n_post=2)),
+        rtol=1e-5, atol=1e-6)

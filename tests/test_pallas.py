@@ -69,3 +69,16 @@ def test_pallas_dia_grad_is_transpose_spmv(rng):
     g_ref = A.to_scipy().T @ np.asarray(w, np.float64)
     np.testing.assert_allclose(np.asarray(pmv.from_padded(g)), g_ref,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bf16_diag_storage(rng):
+    """bf16 diagonal storage with f32 accumulate: exact for integer-valued
+    stencils (the Laplacian), close otherwise."""
+    from gnnla_tpu.ops.pallas_spmv import make_dia_spmv_padded
+    A = laplacian_2d(16).eliminate_zeros()
+    dia = to_dia(A)
+    pmv16 = make_dia_spmv_padded(dia, tile=1024, diag_dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.random(256), jnp.float32)
+    np.testing.assert_allclose(np.asarray(pmv16.matvec(x)),
+                               np.asarray(A.matvec(x)), rtol=1e-6,
+                               atol=1e-6)
