@@ -11,6 +11,7 @@ from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
     setup_with_dia, vcycle, solve)
 from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
     multigrid_cycle, multigrid_solve)
+from gnnla_tpu.models.krylov import cg, amg_pcg
 
 __all__ = [
     "matvec", "matvec_gnn", "MatVecBlock",

@@ -191,3 +191,34 @@ def test_cli_grid_listing(capsys):
     assert "432 total combinations" in capsys.readouterr().out
     assert cli.main(["diffusion", "--show-combos"]) == 0
     assert len(capsys.readouterr().out.strip().splitlines()) == 5
+
+
+def test_train_jacobi_on_stretched_mesh():
+    """The MATLAB trainer's data family (train_jacobi_find_d.m:59-82):
+    training runs on the stretched heat-equation bucket via the `dataset`
+    hook and produces finite, improving losses."""
+    from gnnla_tpu.training.datasets import stretched_mesh_dataset
+    from gnnla_tpu.training.train_jacobi import TrainJacobiConfig, train
+
+    ds = stretched_mesh_dataset(16, n_cells=6, max_stretch=5.0, seed=3)
+    cfg = TrainJacobiConfig(num_matrices=16, n_mesh=6, epochs=3,
+                            batch_size=4, n_train=10, n_val=3, n_test=3,
+                            m_probes=4, cache_dir=None, checkpoint_dir=None,
+                            log_every=0)
+    params, hist = train(cfg, dataset=ds)
+    assert np.all(np.isfinite(hist["train_loss"]))
+    assert hist["train_loss"][-1] <= hist["train_loss"][0] + 1e-3
+
+
+def test_profile_trace_writes(tmp_path):
+    """jax.profiler integration (SURVEY §5: observability the reference
+    lacks)."""
+    import jax.numpy as jnp
+    from gnnla_tpu.utils import profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        jnp.sum(jnp.ones(128)).block_until_ready()
+    import os
+    found = any("trace" in root or files
+                for root, _, files in os.walk(tmp_path))
+    assert found
