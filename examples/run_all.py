@@ -4,7 +4,7 @@ import sys
 import time
 
 MODULES = ["matvec", "residual_norm", "jacobi", "chebyshev", "power_method",
-           "soc_interp", "vcycle", "train_jacobi", "train_diffusion",
+           "soc_interp", "vcycle", "multigrid_pcg", "train_jacobi", "train_diffusion",
            "distributed"]
 
 
