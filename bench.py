@@ -152,13 +152,51 @@ def main():
         print(f"dia/pallas-bf16 unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # VMEM-resident roll-based stencil kernel: the iterate AND the tap
+    # planes live in VMEM across all n_iters steps — zero HBM traffic per
+    # matvec, VPU-roofline-bound. bf16 taps count toward the headline only
+    # when the storage roundtrip is bit-exact on this matrix (host check).
+    stencil_eps = 0.0
+    try:
+        from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv
+        tapf32 = None
+        probe32 = np.asarray(dia.diags, np.float32)
+        bf16_exact = bool(np.all(
+            np.asarray(jnp.asarray(probe32, jnp.bfloat16), np.float32)
+            == probe32))
+        tap_dtype = jnp.bfloat16 if bf16_exact else jnp.float32
+        st = make_stencil_spmv(op, (n_grid, n_grid), n_steps=n_iters,
+                               tap_dtype=tap_dtype)
+        run = __import__("jax").jit(st.apply)
+        x2d = x0.reshape(n_grid, n_grid)
+        y = run(st.taps, x2d)
+        float(jnp.sum(y))
+        t0 = time.perf_counter()
+        float(jnp.sum(y))
+        fetch = time.perf_counter() - t0
+        n_chain = 5
+        t0 = time.perf_counter()
+        for _ in range(n_chain):
+            y = run(st.taps, y)
+        s = float(jnp.sum(y))
+        dt = time.perf_counter() - t0 - fetch
+        assert np.isfinite(s), f"stencil iterate diverged: {s}"
+        stencil_eps = st.nnz * n_iters * n_chain / max(dt, 1e-9)
+        print(f"stencil-resident ({jnp.dtype(tap_dtype).name}"
+              f"{', exact' if bf16_exact else ''}): {stencil_eps:.3e} "
+              f"edges/s", file=sys.stderr)
+    except Exception as e:  # stencil path optional (needs grid structure)
+        print(f"stencil-resident unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # COO path is ~2 orders slower on TPU (scatter-bound): fewer iterations
     # keep its share of the wall-time bounded without hurting signal.
     coo_eps = _bench(lambda o, x: o.matvec(x), op, x0, op.nnz,
                      max(5, n_iters // 100), n_chain=1)
     print(f"coo/segment-sum: {coo_eps:.3e} edges/s", file=sys.stderr)
 
-    tpu_edges_s = max(coo_eps, dia_eps, pallas_eps, pallas16_eps)
+    tpu_edges_s = max(coo_eps, dia_eps, pallas_eps, pallas16_eps,
+                      stencil_eps)
     cpu_edges_s = bench_cpu_reference(op_raw.to_scipy(), n_iters=10)
     print(f"cpu reference:   {cpu_edges_s:.3e} edges/s", file=sys.stderr)
 

@@ -71,6 +71,71 @@ def test_pallas_dia_grad_is_transpose_spmv(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_steps", [1, 2, 5])
+def test_stencil_resident_multistep(rng, n_steps):
+    """VMEM-resident roll stencil == n single matvecs (interpreter)."""
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv
+    A = laplacian_2d(20).eliminate_zeros().scale(1.0 / 8.0)  # 400 rows
+    st = make_stencil_spmv(A, (20, 20), n_steps)
+    assert len(st.shifts) == 5  # 5-point stencil -> 5 tap planes
+    x = jnp.asarray(rng.random(400), jnp.float32)
+    y = st.matvec_n(x)
+    want = x
+    for _ in range(n_steps):
+        want = A.matvec(want)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_stencil_periodic_wrap(rng):
+    """Periodic diffusion FEM: the roll wrap IS the periodic neighbor.
+    9-point periodic stencil collapses to 9 shift classes (DIA needs 21
+    offsets); wrap edges join their interior siblings' class."""
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv, stencil_taps
+    from gnnla_tpu.problems.diffusion_fem import constant_diffusion_matrix
+    A = constant_diffusion_matrix(1.3, 0.7, 8)
+    shifts, planes = stencil_taps(A, (8, 8))
+    assert len(shifts) == 9
+    st = make_stencil_spmv(A, (8, 8), n_steps=3)
+    x = jnp.asarray(rng.random(64), jnp.float32)
+    want = A.matvec(A.matvec(A.matvec(x)))
+    np.testing.assert_allclose(np.asarray(st.matvec_n(x)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_rejects_too_many_classes(rng):
+    """A scrambled (non-stencil) pattern must be refused, not mis-built."""
+    from gnnla_tpu import SparseOperator
+    from gnnla_tpu.ops.pallas_stencil import MAX_TAPS, stencil_taps
+    n = 32 * 32
+    r = np.arange(n, dtype=np.int32)
+    c = rng.permutation(n).astype(np.int32)
+    A = SparseOperator.from_coo(r, c, np.ones(n, np.float32), (n, n))
+    with pytest.raises(ValueError, match="shift classes"):
+        stencil_taps(A, (32, 32))
+    assert MAX_TAPS < 1024
+
+
+def test_stencil_vmem_guard():
+    """Oversized operators must refuse the resident path, not OOM."""
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv
+    from gnnla_tpu.problems import laplacian_2d as lap
+
+    class FakeBig:
+        shape = (8192 * 8192, 8192 * 8192)
+        nnz = 5
+        import numpy as _np
+        vals = _np.zeros(1, _np.float32)
+
+        def host_coo(self):
+            z = np.zeros(1, np.int64)
+            return z, z, np.ones(1, np.float64)
+
+    import gnnla_tpu.ops.pallas_stencil as ps
+    with pytest.raises(ValueError, match="VMEM"):
+        ps.PallasStencilSpMV(FakeBig(), (8192, 8192))
+
+
 def test_pallas_bf16_diag_storage(rng):
     """bf16 diagonal storage with f32 accumulate: exact for integer-valued
     stencils (the Laplacian), close otherwise."""
