@@ -85,9 +85,45 @@ def bench_cpu_reference(A_scipy, n_iters: int) -> float:
     return A.nnz * n_iters / dt
 
 
+def _pallas_health_probe():
+    """One trivial Mosaic compile. The axon pool assigns a terminal per
+    process and some terminals' compile helpers are broken ("could not
+    determine TPU accelerator type" -> HTTP 500 on every pallas compile,
+    while plain XLA compiles fine). Probe cheaply; on failure re-exec so
+    a fresh process claims a different terminal (bounded attempts)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def k(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * 2.0
+
+    y = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(jnp.ones((8, 128), jnp.float32))
+    y.block_until_ready()
+
+
 def main():
     n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    import os
+
+    attempt = int(os.environ.get("GNNLA_BENCH_ATTEMPT", "0"))
+    try:
+        _pallas_health_probe()
+    except Exception as e:
+        if attempt < 5:
+            print(f"pallas compile-helper unhealthy "
+                  f"({type(e).__name__}); re-claiming terminal "
+                  f"(attempt {attempt + 1}/5)", file=sys.stderr)
+            env = dict(os.environ, GNNLA_BENCH_ATTEMPT=str(attempt + 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        print("pallas compile helper still unhealthy after 5 claims; "
+              "continuing with XLA-only paths", file=sys.stderr)
     import jax.numpy as jnp
 
     from gnnla_tpu.ops.dia import to_dia

@@ -77,6 +77,136 @@ def stencil_taps(op: SparseOperator, grid_shape: Tuple[int, int]):
     return shifts, planes
 
 
+def _vmem_check(k, h, w, dbytes, n_resident_vecs):
+    """k tap planes + n_resident_vecs f32 [H, W] buffers must fit VMEM."""
+    vmem = k * h * w * dbytes + n_resident_vecs * h * w * 4
+    if vmem > VMEM_BUDGET:
+        raise ValueError(
+            f"stencil-resident needs ~{vmem / 2**20:.0f} MB VMEM "
+            f"(budget {VMEM_BUDGET / 2**20:.0f} MB); use the "
+            "streaming DIA kernel for this size")
+
+
+def _build_stencil_call(shifts, h, w, n_steps, tap_dtype, mode):
+    """Shared kernel builder for the fused VMEM-resident stencil loops.
+
+    mode = "plain":     x <- T x                    (iterated SpMV)
+           "affine":    x <- T x + c                (Jacobi-style smoother)
+           "normalize": x <- T x / ||T x||_2        (power iteration)
+
+    "affine" adds a third resident [H, W] buffer holding c (loaded once);
+    "normalize" runs an in-kernel full reduction per step (one extra VPU
+    pass — still zero HBM traffic).
+    """
+    k = len(shifts)
+    out_parity = n_steps % 2
+    affine = mode == "affine"
+
+    def body(s, bufs, tv, cbuf):
+        for parity in (0, 1):
+            @pl.when(s % 2 == parity)
+            def _(parity=parity):
+                src, dst = bufs[parity], bufs[1 - parity]
+                x = src[:]
+                acc = None
+                for j, (dy, dx) in enumerate(shifts):
+                    v = x
+                    # read x[(r+dy)%H, (c+dx)%W]: roll by the inverse
+                    if dx:
+                        v = pltpu.roll(v, (w - dx) % w, 1)
+                    if dy:
+                        v = pltpu.roll(v, (h - dy) % h, 0)
+                    term = tv[j].astype(jnp.float32) * v
+                    acc = term if acc is None else acc + term
+                if mode == "affine":
+                    acc = acc + cbuf[:]
+                elif mode == "normalize":
+                    acc = acc * jax.lax.rsqrt(jnp.sum(acc * acc))
+                dst[:] = acc
+
+    if affine:
+        def kernel(taps_hbm, c_hbm, x_hbm, y_hbm, buf0, buf1, cbuf, tv,
+                   sem_x, sem_y, sem_t, sem_c):
+            s = pl.program_id(0)
+
+            @pl.when(s == 0)
+            def _():
+                cps = [pltpu.make_async_copy(x_hbm, buf0, sem_x),
+                       pltpu.make_async_copy(taps_hbm, tv, sem_t),
+                       pltpu.make_async_copy(c_hbm, cbuf, sem_c)]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+
+            body(s, (buf0, buf1), tv, cbuf)
+
+            @pl.when(s == pl.num_programs(0) - 1)
+            def _():
+                cp = pltpu.make_async_copy(
+                    (buf0, buf1)[out_parity], y_hbm, sem_y)
+                cp.start()
+                cp.wait()
+
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        scratch = [
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((k, h, w), tap_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        def kernel(taps_hbm, x_hbm, y_hbm, buf0, buf1, tv,
+                   sem_x, sem_y, sem_t):
+            s = pl.program_id(0)
+
+            @pl.when(s == 0)
+            def _():
+                cps = [pltpu.make_async_copy(x_hbm, buf0, sem_x),
+                       pltpu.make_async_copy(taps_hbm, tv, sem_t)]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+
+            body(s, (buf0, buf1), tv, None)
+
+            @pl.when(s == pl.num_programs(0) - 1)
+            def _():
+                cp = pltpu.make_async_copy(
+                    (buf0, buf1)[out_parity], y_hbm, sem_y)
+                cp.start()
+                cp.wait()
+
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        scratch = [
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((h, w), jnp.float32),
+            pltpu.VMEM((k, h, w), tap_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            # v5e has 128 MB physical VMEM; Mosaic's scoped-stack
+            # accounting adds roll/accumulator temporaries on top of the
+            # declared scratch, so give it everything but 1 MB headroom.
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )
+
+
 class PallasStencilSpMV:
     """Fused y = A^{n_steps} @ x for grid-stencil operators, VMEM-resident.
 
@@ -94,77 +224,10 @@ class PallasStencilSpMV:
         h, w = grid_shape
         tap_dtype = tap_dtype or op.vals.dtype
         dbytes = jnp.dtype(tap_dtype).itemsize
-
-        def vmem_check(k):
-            vmem = k * h * w * dbytes + 2 * h * w * 4
-            if vmem > VMEM_BUDGET:
-                raise ValueError(
-                    f"stencil-resident needs ~{vmem / 2**20:.0f} MB VMEM "
-                    f"(budget {VMEM_BUDGET / 2**20:.0f} MB); use the "
-                    "streaming DIA kernel for this size")
-
-        vmem_check(1)  # early out before building host tap planes
+        _vmem_check(1, h, w, dbytes, 2)   # early out before host planes
         shifts, planes = stencil_taps(op, grid_shape)
         k = len(shifts)
-        vmem_check(k)
-
-        out_parity = n_steps % 2
-
-        def kernel(taps_hbm, x_hbm, y_hbm, buf0, buf1, tv,
-                   sem_x, sem_y, sem_t):
-            s = pl.program_id(0)
-            bufs = (buf0, buf1)
-
-            @pl.when(s == 0)
-            def _():
-                cp = pltpu.make_async_copy(x_hbm, buf0, sem_x)
-                cp.start()
-                cpt = pltpu.make_async_copy(taps_hbm, tv, sem_t)
-                cpt.start()
-                cp.wait()
-                cpt.wait()
-
-            for parity in (0, 1):
-                @pl.when(s % 2 == parity)
-                def _(parity=parity):
-                    src, dst = bufs[parity], bufs[1 - parity]
-                    x = src[:]
-                    acc = None
-                    for j, (dy, dx) in enumerate(shifts):
-                        v = x
-                        # read x[(r+dy)%H, (c+dx)%W]: roll by the inverse
-                        if dx:
-                            v = pltpu.roll(v, (w - dx) % w, 1)
-                        if dy:
-                            v = pltpu.roll(v, (h - dy) % h, 0)
-                        term = tv[j].astype(jnp.float32) * v
-                        acc = term if acc is None else acc + term
-                    dst[:] = acc
-
-            @pl.when(s == pl.num_programs(0) - 1)
-            def _():
-                cp = pltpu.make_async_copy(bufs[out_parity], y_hbm, sem_y)
-                cp.start()
-                cp.wait()
-
-        call = pl.pallas_call(
-            kernel,
-            grid=(n_steps,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((h, w), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((h, w), jnp.float32),
-                pltpu.VMEM((h, w), jnp.float32),
-                pltpu.VMEM((k, h, w), tap_dtype),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=VMEM_BUDGET + 8 * 1024 * 1024),
-        )
+        _vmem_check(k, h, w, dbytes, 2)
 
         self.grid_shape = grid_shape
         self.shifts = shifts
@@ -172,7 +235,8 @@ class PallasStencilSpMV:
         self.nnz = op.nnz
         self.n_steps = n_steps
         self.taps = jnp.asarray(planes, tap_dtype).reshape(k, h, w)
-        self.apply = call
+        self.apply = _build_stencil_call(shifts, h, w, n_steps, tap_dtype,
+                                         "plain")
 
     def matvec_n(self, x):
         """y = A^{n_steps} x on flat [n] vectors."""
@@ -181,8 +245,111 @@ class PallasStencilSpMV:
         return y.reshape(-1)
 
 
+class PallasStencilJacobi:
+    """Fused weighted-Jacobi sweeps, VMEM-resident (smoother fast path).
+
+    n_iters applications of x <- x + omega D^-1 (b - A x), rewritten as
+    the affine stencil iteration x <- M x + c with M = I - omega D^-1 A
+    (same shift classes as A plus the identity tap) and c = omega b / d.
+    M's taps and c stay in VMEM for all fused steps; semantics match
+    `models.jacobi` / reference JacobiGNN.py:91-123 exactly.
+
+    run(taps, b2d, x2d) -> x2d'  (c computed from b on device, one XLA op)
+    """
+
+    def __init__(self, op: SparseOperator, grid_shape: Tuple[int, int],
+                 omega: float, n_iters: int, diag=None, tap_dtype=None):
+        h, w = grid_shape
+        tap_dtype = tap_dtype or op.vals.dtype
+        dbytes = jnp.dtype(tap_dtype).itemsize
+        _vmem_check(1, h, w, dbytes, 3)
+        shifts, planes = stencil_taps(op, grid_shape)
+        d = np.asarray(op.diagonal() if diag is None else diag, np.float64)
+        # M = I - omega D^-1 A: row-scale every tap, add 1 on the identity
+        planes = -omega * planes / d[None, :]
+        if (0, 0) not in shifts:
+            shifts = [(0, 0)] + shifts
+            planes = np.concatenate(
+                [np.zeros((1, h * w)), planes], axis=0)
+        planes[shifts.index((0, 0))] += 1.0
+        k = len(shifts)
+        _vmem_check(k, h, w, dbytes, 3)
+
+        self.grid_shape = grid_shape
+        self.n = op.shape[0]
+        self.nnz = op.nnz
+        self.n_iters = n_iters
+        self.omega = omega
+        self.taps = jnp.asarray(planes, tap_dtype).reshape(k, h, w)
+        self._d2 = jnp.asarray(d.reshape(h, w), jnp.float32)
+        self._call = _build_stencil_call(shifts, h, w, n_iters, tap_dtype,
+                                         "affine")
+
+    def run(self, taps, b2d, x2d):
+        c = (self.omega * b2d / self._d2).astype(jnp.float32)
+        return self._call(taps, c, x2d.astype(jnp.float32))
+
+    def smooth(self, b, x):
+        """n_iters Jacobi sweeps on flat [n] vectors."""
+        h, w = self.grid_shape
+        return self.run(self.taps, b.reshape(h, w),
+                        x.reshape(h, w)).reshape(-1)
+
+
+class PallasStencilPower:
+    """Fused normalized power iterations, VMEM-resident.
+
+    n_iters of b <- A b / ||A b||_2 with an in-kernel full reduction per
+    step (reference PowerMethodGNN.py:129-207 semantics); the Rayleigh
+    quotient is computed outside on the returned iterate.
+    """
+
+    def __init__(self, op: SparseOperator, grid_shape: Tuple[int, int],
+                 n_iters: int, tap_dtype=None):
+        h, w = grid_shape
+        tap_dtype = tap_dtype or op.vals.dtype
+        dbytes = jnp.dtype(tap_dtype).itemsize
+        _vmem_check(1, h, w, dbytes, 2)
+        shifts, planes = stencil_taps(op, grid_shape)
+        k = len(shifts)
+        _vmem_check(k, h, w, dbytes, 2)
+
+        self._op = op
+        self.grid_shape = grid_shape
+        self.n = op.shape[0]
+        self.nnz = op.nnz
+        self.n_iters = n_iters
+        self.taps = jnp.asarray(planes, tap_dtype).reshape(k, h, w)
+        self.apply = _build_stencil_call(shifts, h, w, n_iters, tap_dtype,
+                                         "normalize")
+
+    def run(self, b0):
+        """Returns (lambda_max, b) after n_iters normalized iterations."""
+        h, w = self.grid_shape
+        b = self.apply(self.taps, b0.reshape(h, w).astype(jnp.float32))
+        b = b.reshape(-1)
+        lam = jnp.dot(b, self._op.matvec(b)) / jnp.dot(b, b)
+        return lam, b
+
+
 def make_stencil_spmv(op: SparseOperator, grid_shape: Tuple[int, int],
                       n_steps: int = 1,
                       tap_dtype=None) -> PallasStencilSpMV:
     """Build the VMEM-resident roll-based stencil SpMV (see module doc)."""
     return PallasStencilSpMV(op, grid_shape, n_steps, tap_dtype)
+
+
+def make_stencil_jacobi(op: SparseOperator, grid_shape: Tuple[int, int],
+                        omega: float = 0.7, n_iters: int = 3, diag=None,
+                        tap_dtype=None) -> PallasStencilJacobi:
+    """Fused VMEM-resident weighted-Jacobi smoother; `diag` overrides the
+    operator diagonal (trained-Jacobi integration)."""
+    return PallasStencilJacobi(op, grid_shape, omega, n_iters, diag,
+                               tap_dtype)
+
+
+def make_stencil_power(op: SparseOperator, grid_shape: Tuple[int, int],
+                       n_iters: int = 10,
+                       tap_dtype=None) -> PallasStencilPower:
+    """Fused VMEM-resident normalized power iteration."""
+    return PallasStencilPower(op, grid_shape, n_iters, tap_dtype)

@@ -116,6 +116,47 @@ def test_stencil_rejects_too_many_classes(rng):
     assert MAX_TAPS < 1024
 
 
+def test_stencil_jacobi_matches_model(rng):
+    """Fused VMEM-resident Jacobi == models.jacobi sweeps (interpreter)."""
+    from gnnla_tpu.models import jacobi
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_jacobi
+    A = laplacian_2d(12)
+    b = jnp.asarray(rng.random(144), jnp.float32)
+    x0 = jnp.asarray(rng.random(144), jnp.float32)
+    sj = make_stencil_jacobi(A, (12, 12), omega=0.7, n_iters=4)
+    want = jacobi(A, b, x0, omega=0.7, n_iters=4)
+    np.testing.assert_allclose(np.asarray(sj.smooth(b, x0)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_jacobi_trained_diag(rng):
+    """diag= override (trained-Jacobi integration) changes the sweep."""
+    from gnnla_tpu.models import jacobi
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_jacobi
+    A = laplacian_2d(8)
+    d = jnp.asarray(1.0 + rng.random(64), jnp.float32) * -4.0
+    b = jnp.asarray(rng.random(64), jnp.float32)
+    x0 = jnp.zeros(64, jnp.float32)
+    sj = make_stencil_jacobi(A, (8, 8), omega=0.7, n_iters=3, diag=d)
+    want = jacobi(A, b, x0, omega=0.7, n_iters=3, diag=d)
+    np.testing.assert_allclose(np.asarray(sj.smooth(b, x0)),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_power_matches(rng):
+    """Fused normalized power iteration == models.power_method."""
+    from gnnla_tpu.models import power_method
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_power
+    A = laplacian_2d(10)
+    b0 = jnp.asarray(rng.random(100), jnp.float32)
+    sp = make_stencil_power(A, (10, 10), n_iters=15)
+    lam, b = sp.run(b0)
+    lam_ref, b_ref = power_method(A, b0, n_iters=15)
+    np.testing.assert_allclose(float(lam), float(lam_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(b_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_stencil_vmem_guard():
     """Oversized operators must refuse the resident path, not OOM."""
     from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv
