@@ -7,8 +7,10 @@ from gnnla_tpu.models.chebyshev import chebyshev, chebyshev_gnn
 from gnnla_tpu.models.power_method import power_method, power_method_gnn
 from gnnla_tpu.models.soc import soc_classic, soc_sa, soc_classic_blocks
 from gnnla_tpu.models.direct_interp import direct_interp
+from gnnla_tpu.models.geometric import (GeometricVCycle,
+    make_geometric_vcycle)
 from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
-    setup_with_dia, vcycle, solve)
+    setup_with_dia, vcycle, solve, StencilVCycle, make_stencil_vcycle)
 from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
     multigrid_cycle, multigrid_solve)
 from gnnla_tpu.models.krylov import cg, amg_pcg
@@ -23,4 +25,6 @@ __all__ = [
     "soc_classic", "soc_sa", "soc_classic_blocks",
     "direct_interp",
     "TwoGridSetup", "setup_twogrid", "vcycle", "solve",
+    "StencilVCycle", "make_stencil_vcycle",
+    "GeometricVCycle", "make_geometric_vcycle",
 ]

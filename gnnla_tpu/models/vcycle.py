@@ -152,6 +152,87 @@ def setup_with_dia(setup: TwoGridSetup,
                                Ac=try_dia(setup.Ac))
 
 
+class StencilVCycle:
+    """Two-grid cycle with the fine level fully fused into Pallas kernels.
+
+    For grid operators (every matrix family in the reference is one —
+    see ops/pallas_stencil.py module doc) the fine-level work of a cycle
+    — pre-smooth, residual, post-smooth — dominates its cost and is
+    bandwidth-bound on the generic paths. Here it runs as three
+    VMEM-resident stencil kernels (n_pre fused Jacobi sweeps, one fused
+    r = b - A x, n_post fused sweeps); only the coarse correction
+    (P^T r -> Chebyshev on Ac -> P xc) stays on the COO/DIA path.
+
+    Numerics match `vcycle(setup, ...)` with the same parameters — the
+    smoother taps M = I - omega D^-1 A are precomputed in float64 on host,
+    so only float32 rounding differs. Smoothing parameters are baked into
+    the taps at construction (that is what makes the fusion possible);
+    build a new object to change them.
+
+    `cycle(args, b, x)` is a pure jittable function; thread `self.args`
+    through jit as arguments (repo convention — remote compilers inline
+    closure constants). `run(b, x)` is the jitted convenience wrapper.
+    """
+
+    def __init__(self, setup: TwoGridSetup, grid_shape, *, n_pre: int = 3,
+                 n_post: int = 3, omega: float = 0.7, coarse_deg: int = 4,
+                 coarse_c: float = -3.4, coarse_d: float = -4.0,
+                 tap_dtype=None):
+        from gnnla_tpu.ops.pallas_stencil import (make_stencil_jacobi,
+                                                  make_stencil_residual)
+        if not isinstance(setup.A, SparseOperator):
+            raise ValueError(
+                "StencilVCycle builds its taps from the COO setup; "
+                "construct it before setup_with_dia, not after")
+        if min(n_pre, n_post) < 1:
+            raise ValueError("n_pre and n_post must be >= 1")
+        h, w = grid_shape
+        self.grid_shape = (int(h), int(w))
+        self.setup = setup
+        self.omega = float(omega)
+        self._coarse = dict(c=coarse_c, d=coarse_d, deg=coarse_deg)
+        self._pre = make_stencil_jacobi(
+            setup.A, self.grid_shape, omega=omega, n_iters=n_pre,
+            diag=setup.diag, tap_dtype=tap_dtype)
+        self._post = self._pre if n_post == n_pre else make_stencil_jacobi(
+            setup.A, self.grid_shape, omega=omega, n_iters=n_post,
+            diag=setup.diag, tap_dtype=tap_dtype)
+        self._res = make_stencil_residual(setup.A, self.grid_shape,
+                                          tap_dtype=tap_dtype)
+        self._d2 = jnp.asarray(setup.diag, jnp.float32).reshape(h, w)
+        self.args = (self._pre.taps, self._post.taps, self._res.taps,
+                     self._d2, setup.P, setup.Ac)
+        self._jit_cycle = jax.jit(self.cycle)
+
+    def cycle(self, args, b, x):
+        pre_taps, post_taps, res_taps, d2, P, Ac = args
+        h, w = self.grid_shape
+        b2 = jnp.reshape(b, (h, w)).astype(jnp.float32)
+        x2 = jnp.reshape(x, (h, w)).astype(jnp.float32)
+        c = self.omega * b2 / d2
+
+        x2 = self._pre._call(pre_taps, c, x2)
+
+        r = self._res._call(res_taps, b2, x2).reshape(-1)
+        rc = P.rmatvec(r)
+        xc = chebyshev(Ac, rc, jnp.zeros_like(rc), **self._coarse)
+        x2 = x2 + P.matvec(xc).reshape(h, w)
+
+        x2 = self._post._call(post_taps, c, x2)
+        return x2.reshape(-1)
+
+    def run(self, b, x):
+        """One cycle on flat [n] vectors (jitted, args threaded)."""
+        return self._jit_cycle(self.args, jnp.ravel(b), jnp.ravel(x))
+
+
+def make_stencil_vcycle(setup: TwoGridSetup, grid_shape,
+                        **kwargs) -> StencilVCycle:
+    """Fused fine-level two-grid cycle for grid operators (see
+    StencilVCycle)."""
+    return StencilVCycle(setup, grid_shape, **kwargs)
+
+
 def vcycle(setup: TwoGridSetup, b, x, *, n_pre: int = 3, n_post: int = 3,
            omega: float = 0.7, coarse_deg: int = 4, coarse_c: float = -3.4,
            coarse_d: float = -4.0) -> jnp.ndarray:

@@ -332,6 +332,43 @@ class PallasStencilPower:
         return lam, b
 
 
+class PallasStencilResidual:
+    """Fused r = b - A x in one kernel pass.
+
+    The affine mode with taps = -A and c = b gives r = (-A) x + b exactly
+    (reference GNNResidual.py:64-118 semantics). Used as the fine-level
+    residual inside `models.vcycle.StencilVCycle` so the whole fine-grid
+    part of a two-grid cycle runs as three pallas calls with no COO
+    gather/scatter traffic.
+    """
+
+    def __init__(self, op: SparseOperator, grid_shape: Tuple[int, int],
+                 tap_dtype=None):
+        h, w = grid_shape
+        tap_dtype = tap_dtype or op.vals.dtype
+        dbytes = jnp.dtype(tap_dtype).itemsize
+        shifts, planes = stencil_taps(op, grid_shape)
+        k = len(shifts)
+        _vmem_check(k, h, w, dbytes, 3)
+
+        self.grid_shape = grid_shape
+        self.n = op.shape[0]
+        self.nnz = op.nnz
+        self.taps = jnp.asarray(-planes, tap_dtype).reshape(k, h, w)
+        self._call = _build_stencil_call(shifts, h, w, 1, tap_dtype,
+                                         "affine")
+
+    def run(self, taps, b2d, x2d):
+        return self._call(taps, b2d.astype(jnp.float32),
+                          x2d.astype(jnp.float32))
+
+    def residual(self, b, x):
+        """r = b - A x on flat [n] vectors."""
+        h, w = self.grid_shape
+        return self.run(self.taps, b.reshape(h, w),
+                        x.reshape(h, w)).reshape(-1)
+
+
 def make_stencil_spmv(op: SparseOperator, grid_shape: Tuple[int, int],
                       n_steps: int = 1,
                       tap_dtype=None) -> PallasStencilSpMV:
@@ -353,3 +390,9 @@ def make_stencil_power(op: SparseOperator, grid_shape: Tuple[int, int],
                        tap_dtype=None) -> PallasStencilPower:
     """Fused VMEM-resident normalized power iteration."""
     return PallasStencilPower(op, grid_shape, n_iters, tap_dtype)
+
+
+def make_stencil_residual(op: SparseOperator, grid_shape: Tuple[int, int],
+                          tap_dtype=None) -> PallasStencilResidual:
+    """Fused r = b - A x stencil kernel."""
+    return PallasStencilResidual(op, grid_shape, tap_dtype)

@@ -188,3 +188,97 @@ def test_pallas_bf16_diag_storage(rng):
     np.testing.assert_allclose(np.asarray(pmv16.matvec(x)),
                                np.asarray(A.matvec(x)), rtol=1e-6,
                                atol=1e-6)
+
+def test_stencil_residual_matches(rng):
+    """Fused r = b - A x == models.residual."""
+    from gnnla_tpu.models import residual
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_residual
+    A = laplacian_2d(12)
+    b = jnp.asarray(rng.random(144), jnp.float32)
+    x = jnp.asarray(rng.random(144), jnp.float32)
+    sr = make_stencil_residual(A, (12, 12))
+    np.testing.assert_allclose(np.asarray(sr.residual(b, x)),
+                               np.asarray(residual(A, b, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_vcycle_matches_generic(rng):
+    """StencilVCycle == vcycle(setup, ...) with the same parameters."""
+    from gnnla_tpu.models import setup_twogrid, vcycle, make_stencil_vcycle
+    A = laplacian_2d(16)
+    tg = setup_twogrid(A)
+    b = jnp.asarray(rng.random(256), jnp.float32)
+    x = jnp.zeros(256, jnp.float32)
+    sv = make_stencil_vcycle(tg, (16, 16), n_pre=2, n_post=3, omega=0.7)
+    want = x
+    got = x
+    for _ in range(2):
+        want = vcycle(tg, b, want, n_pre=2, n_post=3, omega=0.7)
+        got = sv.run(b, got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_stencil_vcycle_rejects_dia_setup():
+    from gnnla_tpu.models import (setup_twogrid, setup_with_dia,
+                                  make_stencil_vcycle)
+    tg = setup_with_dia(setup_twogrid(laplacian_2d(8)))
+    with pytest.raises(ValueError, match="COO setup"):
+        make_stencil_vcycle(tg, (8, 8))
+
+
+def test_geometric_vcycle_matches_generic(rng):
+    """All-stencil semi-coarsened cycle == generic vcycle on the same
+    (alternating-splitting) setup, 5-pt Laplacian."""
+    from gnnla_tpu.models import (setup_twogrid, vcycle,
+                                  make_geometric_vcycle)
+    A = laplacian_2d(16)
+    tg = setup_twogrid(A, splitting="alternating")
+    gv = make_geometric_vcycle(A, (16, 16), setup=tg, n_pre=2, n_post=3)
+    b = jnp.asarray(rng.random(256), jnp.float32)
+    want = got = jnp.zeros(256, jnp.float32)
+    for _ in range(2):
+        want = vcycle(tg, b, want, n_pre=2, n_post=3)
+        got = gv.run(b, got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_geometric_vcycle_9pt_fem(rng):
+    """Same parity on the 9-point stretched FEM operator."""
+    from gnnla_tpu.models import (setup_twogrid, vcycle,
+                                  make_geometric_vcycle)
+    from gnnla_tpu.problems import stretched_mesh_matrix
+    A = stretched_mesh_matrix(13, stretch=3.0)
+    n = A.shape[0]
+    h = int(np.sqrt(n))
+    assert h * h == n
+    tg = setup_twogrid(A, splitting="alternating")
+    gv = make_geometric_vcycle(A, (h, h), setup=tg)
+    b = jnp.asarray(rng.random(n), jnp.float32)
+    want = got = jnp.zeros(n, jnp.float32)
+    for _ in range(2):
+        want = vcycle(tg, b, want)
+        got = gv.run(b, got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_geometric_vcycle_converges(rng):
+    """Residual decreases monotonically over cycles."""
+    from gnnla_tpu.models import residual, make_geometric_vcycle
+    A = laplacian_2d(32)
+    gv = make_geometric_vcycle(A, (32, 32))
+    b = jnp.asarray(rng.random(1024), jnp.float32)
+    x = jnp.zeros(1024, jnp.float32)
+    rs = [float(jnp.linalg.norm(residual(A, b, x)))]
+    for _ in range(4):
+        x = gv.run(b, x)
+        rs.append(float(jnp.linalg.norm(residual(A, b, x))))
+    assert all(b_ < a_ for a_, b_ in zip(rs, rs[1:])), rs
+
+
+def test_geometric_vcycle_rejects_odd_width():
+    from gnnla_tpu.models import make_geometric_vcycle
+    with pytest.raises(ValueError, match="even"):
+        make_geometric_vcycle(laplacian_2d(9), (9, 9))
