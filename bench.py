@@ -217,7 +217,13 @@ def main():
         s = float(jnp.sum(y))
         dt = time.perf_counter() - t0 - fetch
         assert np.isfinite(s), f"stencil iterate diverged: {s}"
-        stencil_eps = st.nnz * n_iters * n_chain / max(dt, 1e-9)
+        if dt <= 2 * fetch:
+            # timing below the fetch-overhead noise floor (tiny CLI sizes):
+            # an inflated rate here must not win the headline max()
+            raise RuntimeError(
+                f"stencil run too short to time (dt={dt:.4f}s <= "
+                f"2*fetch={2 * fetch:.4f}s); raise n_grid/n_iters")
+        stencil_eps = st.nnz * n_iters * n_chain / dt
         print(f"stencil-resident ({jnp.dtype(tap_dtype).name}"
               f"{', exact' if bf16_exact else ''}): {stencil_eps:.3e} "
               f"edges/s", file=sys.stderr)

@@ -94,6 +94,12 @@ class GeometricVCycle:
         if setup is None:
             setup = setup_twogrid(A, theta=theta, splitting="alternating",
                                   diag=diag)
+        if not (isinstance(setup.A, SparseOperator)
+                and isinstance(setup.P, SparseOperator)):
+            raise ValueError(
+                "GeometricVCycle needs a COO TwoGridSetup (its P assembly "
+                "reads host COO triplets); construct it before "
+                "setup_with_dia, not after")
         flags = np.asarray(setup.coarse_flags)
         want = np.zeros(h * w, flags.dtype)
         want[::2] = 1

@@ -53,11 +53,28 @@ class MultigridSetup:
 
 
 def setup_multigrid(A: SparseOperator, *, theta: float = 0.25,
-                    splitting: str = "cljp", seed: int = 0,
+                    splitting: str = "pmis", seed: int = 0,
                     min_coarse: int = 16, max_levels: int = 12,
+                    trunc: float = 0.2, interp: str = "signed",
                     diag: Optional[jax.Array] = None) -> MultigridSetup:
     """Recursive AMG setup: two-grid setup per level until the coarsest
-    operator is small (or coarsening stalls)."""
+    operator is small (or coarsening stalls).
+
+    Deeper Galerkin operators drift away from the M-matrix regime the
+    classical direct-interpolation formula assumes; without a cure the
+    weights blow up on anisotropic problems (heateqnfem2dfun.m stretch up
+    to 7). The cure is the classical one: Ruge-Stuben interpolation
+    truncation with row-sum-preserving rescaling (`trunc`, default 0.2) at
+    every level — it bounds both P and the Galerkin products, so the
+    hierarchy reaches its natural depth instead of bailing out early on
+    magnitude heuristics — plus Stuben's signed direct interpolation
+    (interp="signed"), which lumps positive off-diagonals into the
+    diagonal (deep Galerkin operators are not M-matrices even when the
+    fine operator is). Defaults here differ from `setup_twogrid` (whose
+    defaults mirror the reference exactly): splitting="pmis" because both
+    CLJP variants over-coarsen multilevel hierarchies, and the reference
+    itself only ever composes two grids (VCycle.py:175-237).
+    """
     import numpy as np
 
     As, Ps, diags = [], [], []
@@ -67,19 +84,9 @@ def setup_multigrid(A: SparseOperator, *, theta: float = 0.25,
         if current.n_rows <= min_coarse:
             break
         tg = setup_twogrid(current, theta=theta, splitting=splitting,
-                           seed=seed, diag=d)
-        # hierarchy health checks: classical direct interpolation assumes
-        # an M-matrix-like operator; deeper Galerkin operators drift out of
-        # that regime and the weights/values blow up. Stop coarsening when
-        # (a) coarsening stalls, (b) interpolation weights are extreme, or
-        # (c) the coarse operator's magnitude jumps — a shallower healthy
-        # hierarchy beats a deep unstable one.
+                           seed=seed, diag=d, trunc=trunc, interp=interp)
+        # stop only when coarsening genuinely stalls
         if tg.Ac.n_rows >= 0.95 * current.n_rows or tg.Ac.n_rows == 0:
-            break
-        w_max = float(np.max(np.abs(tg.P.host_coo()[2])))
-        cur_max = float(np.max(np.abs(current.host_coo()[2])))
-        new_max = float(np.max(np.abs(tg.Ac.host_coo()[2])))
-        if w_max > 10.0 or new_max > 25.0 * cur_max:
             break
         As.append(current)
         Ps.append(tg.P)

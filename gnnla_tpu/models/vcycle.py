@@ -81,15 +81,61 @@ def _direct_interp_host(rows, cols, vals, diag, coarse, strong):
     return np.nan_to_num(w, nan=0.0, posinf=0.0, neginf=0.0)
 
 
+def _direct_interp_host_signed(rows, cols, vals, diag, coarse, strong):
+    """Stuben's signed direct interpolation — the non-M-matrix-safe
+    variant. The reference formula (above) assumes all off-diagonals are
+    negative; stretched quad-FEM stencils (heateqnfem2dfun.m, stretch > 2)
+    have positive off-diagonals that corrupt alpha. Here:
+
+      * positive off-diagonals are lumped into the diagonal
+        (a~_ii = a_ii + sum_k max(a_ik, 0)),
+      * alpha uses negative sums only
+        (alpha_i = sum_k min(a_ik, 0) / sum_{j in C_i^s} min(a_ij, 0)),
+      * w_ij = (1-C_i) * (-a_ij) * alpha_i / a~_ii on strong negative
+        C couplings, 0 elsewhere.
+
+    Reduces to the reference formula on M-matrices (no positive entries).
+
+    Sign convention: rows are normalised by sign(diag) first, so both the
+    positive-definite FEM (positive diagonal) and the reference's
+    negative-definite FD Laplacian (laplacianfun's -4 diagonal) orient the
+    same way — the reference formula is degree-0 homogeneous in that flip.
+    """
+    n = diag.shape[0]
+    sgn = np.where(diag < 0, -1.0, 1.0)
+    vals = vals * sgn[rows]
+    diag = diag * sgn
+    neg = vals < 0
+    keep = neg & (strong > 0)
+    num = np.zeros(n, dtype=np.float64)
+    den = np.zeros(n, dtype=np.float64)
+    pos_sum = np.zeros(n, dtype=np.float64)
+    np.add.at(num, rows, np.where(neg, vals, 0.0))
+    np.add.at(den, rows, np.where(keep & (coarse[cols] > 0), vals, 0.0))
+    np.add.at(pos_sum, rows, np.where(neg, 0.0, vals))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha = (num / den) / (diag + pos_sum)
+        w = (1.0 - coarse[rows]) * np.where(keep, -vals * alpha[rows], 0.0)
+    return np.nan_to_num(w, nan=0.0, posinf=0.0, neginf=0.0)
+
+
 def setup_twogrid(A: SparseOperator, *, theta: float = 0.25,
                   splitting: str = "cljp", seed: int = 0,
                   diag: Optional[jax.Array] = None,
-                  use_device_gnn: bool = False) -> TwoGridSetup:
+                  use_device_gnn: bool = False,
+                  trunc: float = 0.0,
+                  interp: str = "reference") -> TwoGridSetup:
     """AMG setup: SOC -> C/F split -> direct interpolation -> Galerkin.
 
     Mirrors runSOC/runDirectInterp/the Galerkin product of VCycle.py:72-137,
     209, with P kept sparse. `diag` optionally substitutes a trained Jacobi
     diagonal for the smoother (train_jacobi model family).
+
+    interp="reference" is the exact reference formula
+    (DirectInterpGNN.py:133-152); interp="signed" is the Stuben variant
+    that stays stable on non-M-matrices (positive off-diagonals), used by
+    `setup_multigrid` where Galerkin coarse operators drift out of the
+    M-matrix regime.
 
     Setup is a host-phase computation (the reference likewise leaves the
     tensor world for pyamg's CLJP, VCycle.py:114): by default the SOC and
@@ -120,10 +166,13 @@ def setup_twogrid(A: SparseOperator, *, theta: float = 0.25,
             A_nodiag, A.diagonal(), jnp.asarray(coarse, dtype=A.vals.dtype),
             jnp.asarray(strong, dtype=A.vals.dtype)))
     else:
-        w_ij = _direct_interp_host(rows, cols, vals, diag_h,
-                                   coarse.astype(np.float64),
-                                   strong.astype(np.float64))
-    P = assemble_prolongation(A_nodiag, coarse, w_ij, dtype=A.vals.dtype)
+        interp_fn = {"reference": _direct_interp_host,
+                     "signed": _direct_interp_host_signed}[interp]
+        w_ij = interp_fn(rows, cols, vals, diag_h,
+                         coarse.astype(np.float64),
+                         strong.astype(np.float64))
+    P = assemble_prolongation(A_nodiag, coarse, w_ij, dtype=A.vals.dtype,
+                              trunc=trunc)
     Ac = galerkin_product(A, P)
 
     return TwoGridSetup(A=A, P=P, Ac=Ac, diag=a_diag,

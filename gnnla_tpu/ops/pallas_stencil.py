@@ -24,8 +24,13 @@ one-time load there is ZERO HBM traffic per step — the VPU is the roofline.
 Measured on a v5e at 2048x2048 (21M edges): ~1.07e12 edges/s, ~10x the
 streaming DIA kernel, bit-exact vs the jnp DIA matvec.
 
-Not differentiable (intermediates are discarded); training paths use the
-streaming `pallas_spmv` kernel or the jnp DIA/COO operators.
+Differentiability: `PallasStencilSpMV.apply` carries a custom VJP in x
+(cotangent = the transposed-shift stencil, another fused kernel); taps
+gradients are zero by construction (intermediates never leave VMEM) — for
+losses trained through the taps (spectral/Gelfand over a trained-Jacobi
+propagator) use `stencil_matvec_jnp`, the jnp-rolls twin with full XLA
+autodiff, which `training.spectral_loss.damping_factor_gelfand_stencil`
+builds on.
 """
 
 from __future__ import annotations
@@ -77,14 +82,32 @@ def stencil_taps(op: SparseOperator, grid_shape: Tuple[int, int]):
     return shifts, planes
 
 
+def _vmem_budget() -> int:
+    """Usable VMEM bytes on the attached TPU, minus Mosaic's scratch
+    headroom. VMEM_BUDGET assumes a v5e-class chip (128 MB physical); on
+    generations that report a smaller VMEM we scale the guard down so the
+    failure is this clear ValueError, not a Mosaic allocation error."""
+    try:
+        import jax
+        d = jax.devices()[0]
+        stats = d.memory_stats() or {}
+        vmem = stats.get("vmem_size_bytes")
+        if vmem:
+            return min(VMEM_BUDGET, int(vmem) - 16 * 1024 * 1024)
+    except Exception:
+        pass
+    return VMEM_BUDGET
+
+
 def _vmem_check(k, h, w, dbytes, n_resident_vecs):
     """k tap planes + n_resident_vecs f32 [H, W] buffers must fit VMEM."""
+    budget = _vmem_budget()
     vmem = k * h * w * dbytes + n_resident_vecs * h * w * 4
-    if vmem > VMEM_BUDGET:
+    if vmem > budget:
         raise ValueError(
             f"stencil-resident needs ~{vmem / 2**20:.0f} MB VMEM "
-            f"(budget {VMEM_BUDGET / 2**20:.0f} MB); use the "
-            "streaming DIA kernel for this size")
+            f"(budget {budget / 2**20:.0f} MB, sized for a v5e-class "
+            "128 MB chip); use the streaming DIA kernel for this size")
 
 
 def _build_stencil_call(shifts, h, w, n_steps, tap_dtype, mode):
@@ -207,13 +230,53 @@ def _build_stencil_call(shifts, h, w, n_steps, tap_dtype, mode):
     )
 
 
+def stencil_transpose(shifts: List[Tuple[int, int]], planes):
+    """Tap planes of A^T from those of A (device-side, differentiable).
+
+    A^T's shift class for A's (dy, dx) is ((-dy) % H, (-dx) % W), and its
+    plane is A's plane moved to the target points: a (dy, dx) roll.
+    planes: [K, H, W] array. Returns (shifts_t, planes_t).
+    """
+    h, w = planes.shape[1], planes.shape[2]
+    shifts_t = [((-dy) % h, (-dx) % w) for dy, dx in shifts]
+    planes_t = jnp.stack([
+        jnp.roll(planes[k], (dy, dx), (0, 1))
+        for k, (dy, dx) in enumerate(shifts)])
+    return shifts_t, planes_t
+
+
+def stencil_matvec_jnp(planes, shifts: List[Tuple[int, int]], x2d):
+    """y = A @ x as jnp rolls — fully differentiable (in planes AND x).
+
+    The training twin of the fused Pallas kernels: identical tap semantics
+    (y[r,c] = sum_k planes[k,r,c] * x[(r+dy)%H, (c+dx)%W]), but XLA autodiff
+    flows through it, so spectral losses over trained-Jacobi propagators
+    (taps built from trainable d) can run stencil-resident. x2d may be
+    [H, W] or [H, W, m] (SpMM over probe blocks).
+    """
+    acc = None
+    for k, (dy, dx) in enumerate(shifts):
+        v = jnp.roll(x2d, (-dy, -dx), (0, 1))
+        p = planes[k] if x2d.ndim == 2 else planes[k][:, :, None]
+        term = p * v
+        acc = term if acc is None else acc + term
+    return acc
+
+
 class PallasStencilSpMV:
     """Fused y = A^{n_steps} @ x for grid-stencil operators, VMEM-resident.
 
     apply(taps, x2d) -> y2d      [H, W] f32 in/out; taps [K, H, W] threaded
                                  as a jit ARGUMENT (never close over it —
                                  remote compilers inline closure constants
-                                 into the shipped program)
+                                 into the shipped program).
+                                 Differentiable in x via a custom VJP whose
+                                 cotangent is the transposed-shift stencil
+                                 run n_steps times (another fused kernel).
+                                 NOT differentiable in taps (intermediates
+                                 stay in VMEM): the taps cotangent raises
+                                 under jax.grad. Train through
+                                 `stencil_matvec_jnp` instead.
     matvec_n(x)                  [n] convenience wrapper
     """
 
@@ -235,8 +298,34 @@ class PallasStencilSpMV:
         self.nnz = op.nnz
         self.n_steps = n_steps
         self.taps = jnp.asarray(planes, tap_dtype).reshape(k, h, w)
-        self.apply = _build_stencil_call(shifts, h, w, n_steps, tap_dtype,
-                                         "plain")
+        call = _build_stencil_call(shifts, h, w, n_steps, tap_dtype,
+                                   "plain")
+        # transposed-shift kernel for the x cotangent: (A^n)^T = (A^T)^n
+        shifts_t, planes_t = stencil_transpose(
+            self.shifts, self.taps.astype(jnp.float32))
+        self.taps_t = planes_t.astype(tap_dtype)
+        call_t = _build_stencil_call(shifts_t, h, w, n_steps, tap_dtype,
+                                     "plain")
+
+        @jax.custom_vjp
+        def apply(taps, x2d):
+            return call(taps, x2d)
+
+        def fwd(taps, x2d):
+            return call(taps, x2d), taps
+
+        def bwd(taps, ybar):
+            # x cotangent = (A^T)^n ybar; the transposed taps are rebuilt
+            # from the residual taps with K device rolls so nothing large
+            # is closed over. Taps cotangent is ZERO (documented above):
+            # intermediates never leave VMEM — train via stencil_matvec_jnp.
+            _, planes_t = stencil_transpose(shifts,
+                                            taps.astype(jnp.float32))
+            return (jnp.zeros_like(taps),
+                    call_t(planes_t.astype(taps.dtype), ybar))
+
+        apply.defvjp(fwd, bwd)
+        self.apply = apply
 
     def matvec_n(self, x):
         """y = A^{n_steps} x on flat [n] vectors."""

@@ -1,0 +1,598 @@
+"""Stream SpMV: the TPU fast path for *general* (unstructured) graphs.
+
+The reference's hot kernel is `torch_scatter.scatter` over arbitrary edge
+lists (/root/reference/pytorch/MatVecGNN.py:43-62). On TPU both the gather
+x[cols] and the scatter-add are near-scalar under XLA (~1.3e8 elem/s
+measured on v5e) because the hardware has no general vector gather. The one
+fast dynamic-indexing primitive Mosaic exposes is `tpu.dynamic_gather`
+(via `jnp.take_along_axis` on same-shape 2D operands): arbitrary
+permutations within a 128-lane group (axis=1) or within the 8 sublanes of
+one vreg (axis=0). This kernel restructures SpMV so every irregular access
+is such a local gather:
+
+  * Rows are bandwidth-reduced (reverse Cuthill-McKee) and tiled by 1024
+    (8 row-groups of 128). Each tile reads x from a contiguous *window*,
+    DMA'd into VMEM (double-buffered across tiles) as (W_sc, 8, 128)
+    superchunks of 1024 values.
+  * Edges are packed at setup into *groups* of <=128 edges sharing one
+    (tile, row-group, chunk-class) — a chunk-class is a 2^(10-kb)-column
+    aligned slice of the window, so a group's gather spans 8>>kb chunk
+    rows. At kb=3 the whole group reads ONE 128-column chunk and the
+    gather is a single `dynamic_gather`; sparser matrices pick a smaller
+    kb (more select rounds, better lane fill).
+  * GATHER per round: an axis-0 gather picks each group's chunk row out of
+    its superchunk, an axis-1 gather applies the per-edge lane offsets.
+  * SCATTER becomes a *deposit*: group lanes are row-sorted with runs
+    <= 8 (long runs are split at setup), a 3-step segmented doubling scan
+    (static shifts, via axis-1 gathers — `pltpu.roll` measured 10x
+    slower) leaves each row's total on its last lane, and one more
+    axis-1 gather moves totals into row slots via precomputed inverse
+    indices. Partial sums from rows split across groups just accumulate.
+  * Group -> row-group routing happens ONCE per grid step as two one-hot
+    [8,128]x[128,128] matmuls (one per active tile parity; MXU, HIGHEST
+    precision so the 0/1 one-hot stays exact), accumulating into
+    per-parity VMEM scratch; a tile's scratch flushes to its output block
+    at the tile's last unit.
+  * Per-lane data is one packed int32 word (row-lane | deposit-lane |
+    m | lo) plus an f32 value: 8 HBM bytes per edge slot.
+
+Measured on v5e (n=1M, 37M-nnz k-NN-32 operator, RCM-ordered): ~1e10+
+edges/s vs 1.3e8 for the XLA gather path and ~1.1e9 for host-CPU scipy
+CSR — the "torch_scatter execution model" this replaces.
+
+Differentiable in x via a custom VJP (the cotangent is A^T ybar — the same
+kernel built on the transposed operator).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+TILE = 1024
+NSUB = 8           # groups (sublanes) per unit
+RUNCAP = 8         # max same-row run per group (scan depth 3)
+
+
+def _runs(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """For a sorted key vector: (run_id per element, run start offsets)."""
+    if keys.size == 0:
+        return keys.astype(np.int64), np.zeros(0, np.int64)
+    new = np.empty(keys.size, bool)
+    new[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=new[1:])
+    run_id = np.cumsum(new) - 1
+    starts = np.flatnonzero(new)
+    return run_id, starts
+
+
+@dataclasses.dataclass
+class StreamFormat:
+    """Host-side stream layout (all numpy). See module docstring.
+
+    meta columns: 0 tile, 1 first, 2 last, 3 sc_a, 4 sc_b, 5 wstart_sc,
+    6 next_wstart_sc.
+    gmeta per group byte: rg (3b) | use_b << 3 | clslow << 4 | tilepar << 7.
+    word per lane: (rowl+1) << 18 | (dep_lane+1) << 10 | m << 7 | lo.
+    """
+
+    meta: np.ndarray        # [n_units, 8] int32
+    gmeta: np.ndarray       # [n_steps, nb*NSUB/128, 128] int32 group bytes
+    out_idx: np.ndarray     # [n_steps] int32 out tile per grid step
+    word: np.ndarray        # [n_units, NSUB, 128] int32 packed
+    vals: np.ndarray        # [n_units, NSUB, 128] float32
+    n: int
+    nnz: int
+    n_tiles: int
+    w_sc: int               # window size in superchunks
+    kb: int                 # chunk-class bits (rounds = 8 >> kb)
+    nb: int                 # units per grid step
+
+    @property
+    def n_units(self) -> int:
+        return self.meta.shape[0]
+
+    @property
+    def n_steps(self) -> int:
+        return self.out_idx.shape[0]
+
+    @property
+    def padded_len(self) -> int:
+        return self.n_tiles * TILE
+
+
+def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None
+                 ) -> StreamFormat:
+    """Pack a CSR matrix (indices sorted in-row) into the stream layout.
+
+    Pure numpy setup op. The caller is responsible for bandwidth-reducing
+    the row order first (see `stream_spmv`); correctness never depends on
+    the ordering, only the window width W_sc does.
+
+    kb: chunk-class bits (0..3). Groups share a 2^(10-kb)-column class;
+    the kernel runs 8>>kb gather-select rounds. None = pick the kb that
+    minimizes estimated slots x ops.
+    """
+    n = A_csr.shape[0]
+    if A_csr.shape[0] != A_csr.shape[1]:
+        raise ValueError("stream SpMV requires a square operator")
+    indptr = A_csr.indptr.astype(np.int64)
+    cols = A_csr.indices.astype(np.int64)
+    vals = A_csr.data.astype(np.float32)
+    nnz = cols.size
+    deg = np.diff(indptr)
+    if nnz == 0:
+        raise ValueError("empty matrix")
+    rows = np.repeat(np.arange(n, dtype=np.int64), deg)
+    n_tiles = -(-n // TILE)
+    L = n_tiles * TILE
+
+    # --- per-tile windows (superchunk-aligned, uniform width) -------------
+    tile = rows // TILE
+    bnd_full = np.searchsorted(rows, np.arange(n_tiles + 1) * TILE)
+    bnd = bnd_full[:-1]
+    has = bnd_full[:-1] < bnd_full[1:]
+    min_c = np.full(n_tiles, 0, np.int64)
+    max_c = np.full(n_tiles, 0, np.int64)
+    red_min = np.minimum.reduceat(cols, np.minimum(bnd, nnz - 1))
+    red_max = np.maximum.reduceat(cols, np.minimum(bnd, nnz - 1))
+    min_c[has] = red_min[has]
+    max_c[has] = red_max[has]
+    start_sc = min_c // TILE
+    w_sc = int(((max_c - start_sc * TILE) // TILE + 1).max())
+    if w_sc > L // TILE:
+        raise ValueError(
+            f"column window ({w_sc} superchunks) exceeds the padded vector "
+            f"({L // TILE}); matrix too small or ordering too diffuse for "
+            "the stream kernel — use the COO path")
+    start_sc = np.minimum(start_sc, L // TILE - w_sc)
+
+    local = cols - start_sc[tile] * TILE          # in [0, w_sc*1024)
+    rg = (rows % TILE) // 128
+
+    if kb is None:
+        # pick kb minimizing slots(kb) * (7 * rounds(kb) + 45)
+        best = (None, None)
+        trg = (tile * 8 + rg)
+        for k in range(4):
+            key = trg * (w_sc << k) + (local >> (10 - k))
+            _, cnt = np.unique(key, return_counts=True)
+            slots = (np.ceil(cnt / 128) * 128).sum()
+            cost = slots * (7 * (8 >> k) + 45)
+            if best[0] is None or cost < best[0]:
+                best = (cost, k)
+        kb = best[1]
+    rounds = 8 >> kb
+
+    cls_full = local >> (10 - kb)                 # (sc << kb) | clslow
+
+    # --- occurrence within (row, chunk-class); split long runs ------------
+    rk = rows * (w_sc << kb) + cls_full           # sorted (rows, then cols)
+    run_id, starts = _runs(rk)
+    o = np.arange(nnz, dtype=np.int64) - starts[run_id]
+    region = o // RUNCAP
+
+    # --- group partitioning within gk = (tile, rg, class, region) ---------
+    gk = ((tile * 8 + rg) * (w_sc << kb) + cls_full) * (region.max() + 1) \
+        + region
+    order = np.lexsort((o, rows, gk))
+    grun, gstarts = _runs(gk[order])
+    seq = np.arange(nnz, dtype=np.int64) - gstarts[grun]
+    group_in_gk = seq // 128
+    lane = seq % 128
+    pair_s = grun * (seq.max() // 128 + 2) + group_in_gk
+    g_id, _ = _runs(pair_s)                       # contiguous group ids
+    n_groups = int(g_id[-1]) + 1
+
+    # --- group-level arrays -------------------------------------------------
+    word_g = np.zeros((n_groups, 128), np.int32)
+    val_g = np.zeros((n_groups, 128), np.float32)
+    dep_g = np.zeros((n_groups, 128), np.int32)   # (lane+1), 0 = invalid
+    rowl_g = np.zeros((n_groups, 128), np.int32)  # (row%128)+1, 0 = pad
+    m_part = ((local[order] >> 7) & 7).astype(np.int32)
+    lo_part = (local[order] & 127).astype(np.int32)
+    word_g[g_id, lane] = (m_part << 7) | lo_part
+    val_g[g_id, lane] = vals[order]
+    rowl_g[g_id, lane] = (rows[order] % 128).astype(np.int32) + 1
+    gr = g_id * 128 + (rows[order] % 128)
+    is_last = np.concatenate([gr[1:] != gr[:-1], [True]])
+    dep_g[g_id[is_last], (rows[order][is_last] % 128)] = \
+        lane[is_last].astype(np.int32) + 1
+    word_g |= (rowl_g << 18) | (dep_g << 10)
+
+    g_first = np.concatenate([[0], 1 + np.flatnonzero(g_id[1:] != g_id[:-1])])
+    g_tile = tile[order][g_first]
+    g_rg = rg[order][g_first]
+    g_cls = cls_full[order][g_first]
+    g_sc = g_cls >> kb
+    g_clslow = g_cls & ((1 << kb) - 1)
+
+    # --- pack groups into units (per tile, <=2 superchunks per unit) ------
+    units = []          # (tile, [group ids], sc_a, sc_b)
+    g_order = np.lexsort((g_rg, g_cls, g_tile))
+    gt, gs = g_tile[g_order], g_sc[g_order]
+    t_bnd = np.searchsorted(gt, np.arange(n_tiles + 1))
+    tile_unit_count = np.zeros(n_tiles, np.int64)
+    for t in range(n_tiles):
+        lo_i, hi_i = t_bnd[t], t_bnd[t + 1]
+        cur, scs = [], []
+        for j in range(lo_i, hi_i):
+            s = int(gs[j])
+            if len(cur) == NSUB or (s not in scs and len(scs) == 2):
+                units.append((t, cur, scs[0], scs[-1]))
+                tile_unit_count[t] += 1
+                cur, scs = [], []
+            if s not in scs:
+                scs.append(s)
+            cur.append(int(g_order[j]))
+        if cur:
+            units.append((t, cur, scs[0], scs[-1]))
+            tile_unit_count[t] += 1
+        # every tile owns >= nb units: at most one tile completes per grid
+        # step, and a completing tile's flush always precedes the next
+        # same-parity tile's scratch zero
+        while tile_unit_count[t] < nb:
+            units.append((t, [], 0, 0))
+            tile_unit_count[t] += 1
+    while len(units) % nb:
+        units.append((n_tiles - 1, [], 0, 0))
+        tile_unit_count[n_tiles - 1] += 1
+
+    n_units = len(units)
+    n_steps = n_units // nb
+    meta = np.zeros((n_units, 8), np.int32)
+    gmeta = np.zeros((n_units, NSUB), np.int32)
+    word_u = np.zeros((n_units, NSUB, 128), np.int32)
+    val_u = np.zeros((n_units, NSUB, 128), np.float32)
+
+    u_tile = np.array([u[0] for u in units], np.int64)
+    first = np.concatenate([[True], u_tile[1:] != u_tile[:-1]])
+    last = np.concatenate([u_tile[1:] != u_tile[:-1], [True]])
+
+    for i, (t, gids, sca, scb) in enumerate(units):
+        for s_i, g in enumerate(gids):
+            word_u[i, s_i] = word_g[g]
+            val_u[i, s_i] = val_g[g]
+            use_b = 1 if (g_sc[g] == scb and scb != sca) else 0
+            gmeta[i, s_i] = (int(g_rg[g]) | (use_b << 3)
+                             | (int(g_clslow[g]) << 4) | ((t % 2) << 7))
+        for s_i in range(len(gids), NSUB):
+            gmeta[i, s_i] = (t % 2) << 7   # empty group: rg 0, zero vals
+        meta[i, 0] = int(u_tile[i])
+        meta[i, 1] = int(first[i])
+        meta[i, 2] = int(last[i])
+        meta[i, 3] = sca
+        meta[i, 4] = scb
+        meta[i, 5] = int(start_sc[u_tile[i]])
+    first_ids = np.flatnonzero(first)
+    for j, i in enumerate(first_ids):
+        if j + 1 < first_ids.size:
+            meta[i, 6] = int(start_sc[u_tile[first_ids[j + 1]]])
+        else:
+            meta[i, 6] = -1
+
+    if (nb * NSUB) % 128:
+        raise ValueError("nb * NSUB must be a multiple of 128")
+    gmeta = gmeta.reshape(n_steps, nb * NSUB // 128, 128)
+
+    out_idx = np.zeros(n_steps, np.int32)
+    step_last_tile = np.full(n_steps, -1, np.int64)
+    for i in np.flatnonzero(last):
+        assert step_last_tile[i // nb] < 0, "two completions in one step"
+        step_last_tile[i // nb] = u_tile[i]
+    nxt_t = n_tiles - 1
+    for s in range(n_steps - 1, -1, -1):
+        if step_last_tile[s] >= 0:
+            nxt_t = step_last_tile[s]
+        out_idx[s] = nxt_t
+
+    return StreamFormat(meta=meta, gmeta=gmeta, out_idx=out_idx,
+                        word=word_u, vals=val_u, n=n, nnz=nnz,
+                        n_tiles=n_tiles, w_sc=w_sc, kb=kb, nb=nb)
+
+
+def emulate_stream(fmt: StreamFormat, x: np.ndarray) -> np.ndarray:
+    """Numpy reference of the kernel semantics (CI validation of the
+    builder without TPU hardware)."""
+    L = fmt.padded_len
+    xp = np.zeros(L, np.float32)
+    xp[: fmt.n] = x.astype(np.float32)
+    x3 = xp.reshape(-1, TILE)
+    y = np.zeros((fmt.n_tiles, 8, 128), np.float32)
+    rounds = 8 >> fmt.kb
+    for i in range(fmt.n_units):
+        t, _, _, sc_a, sc_b, ws = fmt.meta[i, :6]
+        win = x3[ws: ws + fmt.w_sc].reshape(-1)
+        gb = fmt.gmeta.reshape(-1, NSUB)[i]
+        for s in range(NSUB):
+            rg = gb[s] & 7
+            sc = sc_b if (gb[s] >> 3) & 1 else sc_a
+            clslow = (gb[s] >> 4) & 7
+            word = fmt.word[i, s]
+            lo = word & 127
+            m = (word >> 7) & 7
+            dep1 = (word >> 10) & 255
+            rowl1 = word >> 18
+            # gather: edge participates in round r = m - clslow*rounds
+            base = sc * TILE + clslow * rounds * 128
+            g = np.where(
+                (m >= clslow * rounds) & (m < (clslow + 1) * rounds),
+                win[np.minimum(base + (m - clslow * rounds) * 128 + lo,
+                               win.size - 1)], 0.0)
+            prod = (g * fmt.vals[i, s]).astype(np.float32)
+            # segmented scan (runs <= RUNCAP)
+            for d in (1, 2, 4):
+                shifted = np.concatenate([np.zeros(d, np.float32),
+                                          prod[:-d]])
+                same = np.concatenate([np.zeros(d, bool),
+                                       rowl1[d:] == rowl1[:-d]])
+                prod = prod + np.where(same, shifted, 0.0)
+            valid = dep1 >= 1
+            src = np.where(valid, dep1 - 1, 0)
+            y[t, rg] += np.where(valid, prod[src], 0.0)
+    return y.reshape(-1)[: fmt.n]
+
+
+# --------------------------------------------------------------------- TPU
+
+def _make_call(fmt: StreamFormat, interpret: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb, w_sc, kb = fmt.nb, fmt.w_sc, fmt.kb
+    rounds = 8 >> kb
+    n_steps, n_tiles = fmt.n_steps, fmt.n_tiles
+
+    def kernel(outidx_ref, meta_ref, gmeta_ref, word_ref, val_ref,
+               x_hbm, y_ref, win0, win1, yacc0, yacc1, slab, sem0, sem1):
+        u = pl.program_id(0)
+        bufs = (win0, win1)
+        yaccs = (yacc0, yacc1)
+        sems = (sem0, sem1)
+
+        def dma(slot, ws):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(ws, w_sc)], bufs[slot], sems[slot])
+
+        @pl.when(u == 0)
+        def _():
+            dma(0, meta_ref[0, 5]).start()
+
+        sub8 = jax.lax.broadcasted_iota(jnp.int32, (NSUB, 128), 0)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (NSUB, 128), 1)
+        # group bytes, 128 groups (16 units) per gmeta row
+        gmbs = [jax.lax.broadcast_in_dim(gmeta_ref[0, r], (NSUB, 128), (1,))
+                for r in range(nb * NSUB // 128)]
+
+        # phase 1: per-unit gather + scan + deposit into the step slab
+        for j in range(nb):
+            tile = meta_ref[j, 0]
+            first = meta_ref[j, 1]
+            sc_a = meta_ref[j, 3]
+            sc_b = meta_ref[j, 4]
+            nws = meta_ref[j, 6]
+
+            @pl.when(first == 1)
+            def _():
+                for parity in (0, 1):
+                    @pl.when(tile % 2 == parity)
+                    def _(parity=parity):
+                        dma(parity, meta_ref[j, 5]).wait()
+
+                        @pl.when(nws >= 0)
+                        def _():
+                            dma(1 - parity, nws).start()
+                        yaccs[parity][...] = jnp.zeros_like(yaccs[parity])
+
+            even = (tile % 2) == 0
+            SCa = jnp.where(even, win0[sc_a], win1[sc_a])
+            SCb = jnp.where(even, win0[sc_b], win1[sc_b])
+
+            # this unit's 8 group bytes, one per sublane
+            gby = jnp.take_along_axis(gmbs[j // 16], sub8 + 8 * (j % 16),
+                                      axis=1)
+            use_b = jnp.bitwise_and(jnp.right_shift(gby, 3), 1) == 1
+            clslow = jnp.bitwise_and(jnp.right_shift(gby, 4), 7)
+
+            word = word_ref[j]
+            lo = jnp.bitwise_and(word, 127)
+            rowl1 = jnp.right_shift(word, 18)
+            dep1 = jnp.bitwise_and(jnp.right_shift(word, 10), 255)
+
+            if rounds == 1:
+                ch = clslow
+                opa = jnp.take_along_axis(SCa, ch, axis=0)
+                opb = jnp.take_along_axis(SCb, ch, axis=0)
+                g = jnp.take_along_axis(jnp.where(use_b, opb, opa), lo,
+                                        axis=1)
+            else:
+                m = jnp.bitwise_and(jnp.right_shift(word, 7), 7)
+                g = jnp.zeros((NSUB, 128), jnp.float32)
+                for r in range(rounds):
+                    ch = clslow * rounds + r
+                    opa = jnp.take_along_axis(SCa, ch, axis=0)
+                    opb = jnp.take_along_axis(SCb, ch, axis=0)
+                    gg = jnp.take_along_axis(
+                        jnp.where(use_b, opb, opa), lo, axis=1)
+                    g = jnp.where(m == ch, gg, g)
+            prod = g * val_ref[j]
+
+            # segmented scan along lanes (row runs <= 8, static 3 steps);
+            # shifts via dynamic_gather — pltpu.roll measured ~10x slower
+            for sh in (1, 2, 4):
+                sidx = jnp.maximum(lane8 - sh, 0)
+                same = jnp.logical_and(
+                    rowl1 == jnp.take_along_axis(rowl1, sidx, axis=1),
+                    lane8 >= sh)
+                prod = prod + jnp.where(
+                    same, jnp.take_along_axis(prod, sidx, axis=1), 0.0)
+
+            valid = dep1 >= 1
+            dep = jnp.take_along_axis(
+                prod, jnp.where(valid, dep1 - 1, 0), axis=1)
+            slab[8 * j: 8 * j + 8] = jnp.where(valid, dep, 0.0)
+
+        # phase 2: route the group rows into the two active tiles'
+        # accumulators with one one-hot matmul per (parity, slab half)
+        sub_out = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        for parity in (0, 1):
+            acc = yaccs[parity][...]
+            for r, gmb in enumerate(gmbs):
+                oht = jnp.logical_and(
+                    jnp.bitwise_and(gmb, 7) == sub_out,
+                    jnp.right_shift(gmb, 7) == parity).astype(jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    oht, slab[128 * r: 128 * (r + 1)],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            yaccs[parity][...] = acc
+
+        # phase 3: flush the completing tile (at most one per step)
+        for j in range(nb):
+            @pl.when(meta_ref[j, 2] == 1)
+            def _(j=j):
+                for parity in (0, 1):
+                    @pl.when(meta_ref[j, 0] % 2 == parity)
+                    def _(parity=parity):
+                        y_ref[0] = yaccs[parity][...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((nb, 8), lambda u, o: (u, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nb * NSUB // 128, 128),
+                         lambda u, o: (u, 0, 0)),
+            pl.BlockSpec((nb, NSUB, 128), lambda u, o: (u, 0, 0)),
+            pl.BlockSpec((nb, NSUB, 128), lambda u, o: (u, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda u, o: (o[u], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((w_sc, 8, 128), jnp.float32),
+            pltpu.VMEM((w_sc, 8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((nb * NSUB, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+        interpret=interpret)
+
+
+class StreamSpMV:
+    """Compiled stream SpMV with a custom VJP (cotangent = A^T ybar).
+
+    Same conventions as PallasDiaSpMV (ops/pallas_spmv.py): operator data
+    is threaded through jit as *arguments* (`op_args`), never closed over —
+    on tunneled backends closure constants are inlined into the program
+    shipped to the compiler and compile time scales with matrix bytes.
+
+    apply(op_args, x3)  : differentiable-in-x; x3 is the padded vector in
+                          superchunk layout [L/1024, 8, 128]; returns y in
+                          the same layout (chainable with zero copies).
+    matvec(x)           : convenience y = A @ x on [n] vectors.
+    """
+
+    def __init__(self, A_csr, nb: int = 32, kb: Optional[int] = None,
+                 with_transpose: bool = True, interpret: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        fmt = build_stream(A_csr, nb=nb, kb=kb)
+        self.fmt = fmt
+        self.n = fmt.n
+        self.nnz = fmt.nnz
+        self.padded_len = fmt.padded_len
+        call = _make_call(fmt, interpret=interpret)
+
+        def pack(f):
+            return (jnp.asarray(f.out_idx), jnp.asarray(f.meta),
+                    jnp.asarray(f.gmeta), jnp.asarray(f.word),
+                    jnp.asarray(f.vals))
+
+        fwd_args = pack(fmt)
+        self._call = call
+
+        if with_transpose:
+            At = A_csr.T.tocsr()
+            At.sort_indices()
+            fmt_t = build_stream(At, nb=nb, kb=kb)
+            if fmt_t.padded_len != fmt.padded_len:
+                raise AssertionError("square operator: padded lens differ")
+            call_t = _make_call(fmt_t, interpret=interpret)
+            bwd_args = pack(fmt_t)
+        else:
+            call_t, bwd_args = None, None
+
+        @jax.custom_vjp
+        def apply(op_args, x3):
+            y = call(*op_args[0], x3)
+            return y.reshape(x3.shape)
+
+        def fwd(op_args, x3):
+            return apply(op_args, x3), op_args
+
+        def bwd(op_args, ybar):
+            if call_t is None:
+                raise ValueError("built with with_transpose=False; "
+                                 "gradient unavailable")
+            xbar = call_t(*op_args[1], ybar).reshape(ybar.shape)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, op_args)
+            return (zeros, xbar)
+
+        apply.defvjp(fwd, bwd)
+        self.op_args = (fwd_args, bwd_args)
+        self.apply = apply
+        self._japply = jax.jit(apply)
+
+    def to_padded(self, x):
+        import jax.numpy as jnp
+        x = jnp.asarray(x)
+        pad = self.padded_len - self.n
+        return jnp.pad(x, (0, pad)).reshape(-1, 8, 128)
+
+    def from_padded(self, x3):
+        return x3.reshape(-1)[: self.n]
+
+    def matvec(self, x):
+        return self.from_padded(self._japply(self.op_args,
+                                             self.to_padded(x)))
+
+
+def rcm_csr(A_csr):
+    """(reordered CSR, permutation) via reverse Cuthill-McKee."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    perm = np.asarray(reverse_cuthill_mckee(A_csr, symmetric_mode=False))
+    B = A_csr[perm][:, perm].tocsr()
+    B.sort_indices()
+    return B, perm
+
+
+def stream_spmv(op, *, reorder: bool = True, nb: int = 32,
+                kb: Optional[int] = None, with_transpose: bool = True,
+                interpret: bool = False) -> Tuple[StreamSpMV,
+                                                  Optional[np.ndarray]]:
+    """Build a StreamSpMV from a SparseOperator.
+
+    Returns (kernel, perm): when `reorder`, the kernel operates on the
+    RCM-permuted operator and `perm` maps caller vectors into kernel order
+    (x_kernel = x[perm]); perm is None otherwise.
+    """
+    A = op.to_scipy().tocsr()
+    A.sort_indices()
+    perm = None
+    if reorder:
+        A, perm = rcm_csr(A)
+    return StreamSpMV(A, nb=nb, kb=kb, with_transpose=with_transpose,
+                      interpret=interpret), perm

@@ -120,6 +120,30 @@ def optimal_omega(op: SparseOperator,
     return float(2.0 / (np.max(evals) + np.min(evals)))
 
 
+# ------------------------------------------------- stencil-resident path
+def damping_factor_gelfand_stencil(planes, shifts, diag2d, omega: float,
+                                   probes2d: Array, k: int = 3) -> Array:
+    """Gelfand damping factor with the propagator applied as a grid
+    stencil (jnp rolls; ops/pallas_stencil.stencil_matvec_jnp) instead of
+    gather/segment-sum — differentiable w.r.t. `diag2d` (the trainable
+    Jacobi diagonal), so training runs on the stencil fast path.
+
+    planes:   [K, H, W] tap planes of A (host-built once, fixed)
+    diag2d:   [H, W] trainable diagonal
+    probes2d: [H, W, m] high-frequency probe block
+    T = I - omega D^-1 A is formed implicitly: y - omega * (A y) / d.
+    """
+    from gnnla_tpu.ops.pallas_stencil import stencil_matvec_jnp
+
+    def body(_, y):
+        ay = stencil_matvec_jnp(planes, shifts, y)
+        return y - omega * ay / diag2d[:, :, None]
+
+    y = jax.lax.fori_loop(0, k, body, probes2d)
+    norms = jnp.sqrt(jnp.sum(y * y, axis=(0, 1)))
+    return jnp.max(norms) ** (1.0 / k)
+
+
 # ------------------------------------------------------------ batch loss
 def loss_batch_stacked(vals: Array, op_template: SparseOperator,
                        diags: Array, probes: Array,

@@ -282,3 +282,91 @@ def test_geometric_vcycle_rejects_odd_width():
     from gnnla_tpu.models import make_geometric_vcycle
     with pytest.raises(ValueError, match="even"):
         make_geometric_vcycle(laplacian_2d(9), (9, 9))
+
+
+def test_stencil_matvec_jnp_matches_op(rng):
+    """jnp-rolls stencil (training twin) == COO matvec, single and multi
+    column."""
+    import jax.numpy as jnp
+    from gnnla_tpu.ops.pallas_stencil import stencil_matvec_jnp, stencil_taps
+    A = laplacian_2d(12).eliminate_zeros()
+    shifts, planes = stencil_taps(A, (12, 12))
+    planes = jnp.asarray(planes, jnp.float32).reshape(-1, 12, 12)
+    x = jnp.asarray(rng.random((144, 3)), jnp.float32)
+    y = stencil_matvec_jnp(planes, shifts, x.reshape(12, 12, 3))
+    np.testing.assert_allclose(y.reshape(144, 3), A.matvec(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_transpose(rng):
+    """Transposed tap planes apply A^T."""
+    import jax.numpy as jnp
+    from gnnla_tpu.ops.pallas_stencil import (stencil_matvec_jnp,
+                                              stencil_taps,
+                                              stencil_transpose)
+    from gnnla_tpu.problems import heateqn_fem_2d
+    A = heateqn_fem_2d((8, 8), (1.0, 3.0)).eliminate_zeros()
+    n = A.shape[0]
+    import math
+    h = w = int(math.isqrt(n))
+    shifts, planes = stencil_taps(A, (h, w))
+    planes = jnp.asarray(planes, jnp.float32).reshape(-1, h, w)
+    shifts_t, planes_t = stencil_transpose(shifts, planes)
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    yt = stencil_matvec_jnp(planes_t, shifts_t, x.reshape(h, w))
+    np.testing.assert_allclose(yt.reshape(-1), A.rmatvec(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_stencil_spmv_custom_vjp(rng):
+    """grad through the fused kernel (x only) == grad through COO path."""
+    import jax
+    import jax.numpy as jnp
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv
+    A = laplacian_2d(10).eliminate_zeros().scale(1 / 8.0)
+    st = make_stencil_spmv(A, (10, 10), n_steps=3)
+    x = jnp.asarray(rng.random(100), jnp.float32)
+
+    def loss_pallas(x):
+        y = st.apply(st.taps, x.reshape(10, 10))
+        return jnp.sum(y ** 2)
+
+    def loss_coo(x):
+        y = x
+        for _ in range(3):
+            y = A.matvec(y)
+        return jnp.sum(y ** 2)
+
+    g1 = jax.grad(loss_pallas)(x.reshape(10, 10)).reshape(-1)
+    g2 = jax.grad(loss_coo)(x)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+def test_gelfand_stencil_grad_parity(rng):
+    """Stencil-resident Gelfand loss: value AND d-gradient match the COO
+    path (VERDICT r1 item 4)."""
+    import jax
+    import jax.numpy as jnp
+    from gnnla_tpu.ops.pallas_stencil import stencil_taps
+    from gnnla_tpu.training.spectral_loss import (
+        damping_factor_gelfand, damping_factor_gelfand_stencil,
+        high_freq_probes)
+    A = laplacian_2d(8).eliminate_zeros()
+    n = 64
+    shifts, planes = stencil_taps(A, (8, 8))
+    planes = jnp.asarray(planes, jnp.float32).reshape(-1, 8, 8)
+    probes = jnp.asarray(high_freq_probes(n, 6, None, rng), jnp.float32)
+    d0 = jnp.asarray(4.0 + rng.random(n), jnp.float32)
+
+    def f_coo(d):
+        return damping_factor_gelfand(A, d, 2 / 3, probes, k=3)
+
+    def f_st(d):
+        return damping_factor_gelfand_stencil(
+            planes, shifts, d.reshape(8, 8), 2 / 3,
+            probes.reshape(8, 8, -1), k=3)
+
+    v1, g1 = jax.value_and_grad(f_coo)(d0)
+    v2, g2 = jax.value_and_grad(f_st)(d0)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
