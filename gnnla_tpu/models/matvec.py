@@ -19,27 +19,34 @@ from gnnla_tpu.ops.sparse import SparseOperator
 
 
 def _edge_fn(v_i, v_j, e, g):
-    # v_j[:, 0] is x at the column vertex; e[:, 0] is A_ij
+    # v_j[:, :K] is X at the column vertex; e[:, 0] is A_ij. Multi-column X
+    # flows through the block as K vertex features, like the reference demo
+    # runs [N, 2] X through the MetaLayer itself (MatVecGNN.py:128-129).
     a_ij = e[:, :1]
-    x_j = v_j[:, :1]
+    x_j = v_j
     c_ij = a_ij * x_j
     return jnp.concatenate([a_ij, c_ij], axis=1)
 
 
 def _vertex_fn(v, e, agg, g):
-    cbar = agg.sum(e[:, 1])
-    return jnp.concatenate([v[:, :1], cbar[:, None]], axis=1)
+    cbar = agg.sum(e[:, 1:])
+    return jnp.concatenate([v, cbar], axis=1)
 
 
 MatVecBlock = GNBlock(edge_fn=_edge_fn, vertex_fn=_vertex_fn)
 
 
 def matvec_gnn(op: SparseOperator, x) -> jnp.ndarray:
-    """Run the explicit GN-block form; returns y = A @ x as [N]."""
-    x = jnp.ravel(x)
-    state = GraphState(vertices=x[:, None], edges=op.vals[:, None])
+    """Run the explicit GN-block form; y = A @ X for X of shape [N] or
+    [N, K] (multi-column, reference MatVecGNN.py:128-129,155-161)."""
+    x = jnp.asarray(x)
+    squeeze = x.ndim == 1
+    x2 = x[:, None] if squeeze else x
+    k = x2.shape[1]
+    state = GraphState(vertices=x2, edges=op.vals[:, None])
     out = MatVecBlock(op, state)
-    return out.vertices[:, 1]
+    y = out.vertices[:, k:]
+    return y[:, 0] if squeeze else y
 
 
 def matvec(op: SparseOperator, x) -> jnp.ndarray:

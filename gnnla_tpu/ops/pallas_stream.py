@@ -60,10 +60,10 @@ def _runs(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """For a sorted key vector: (run_id per element, run start offsets)."""
     if keys.size == 0:
         return keys.astype(np.int64), np.zeros(0, np.int64)
-    new = np.empty(keys.size, bool)
-    new[0] = True
-    np.not_equal(keys[1:], keys[:-1], out=new[1:])
-    run_id = np.cumsum(new) - 1
+    new = np.empty(keys.size, np.int32)
+    new[0] = 1
+    new[1:] = keys[1:] != keys[:-1]
+    run_id = np.cumsum(new, dtype=np.int64) - 1
     starts = np.flatnonzero(new)
     return run_id, starts
 
@@ -72,17 +72,21 @@ def _runs(keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 class StreamFormat:
     """Host-side stream layout (all numpy). See module docstring.
 
-    meta columns: 0 tile, 1 first, 2 last, 3 sc_a, 4 sc_b, 5 wstart_sc,
-    6 next_wstart_sc.
-    gmeta per group byte: rg (3b) | use_b << 3 | clslow << 4 | tilepar << 7.
+    meta per unit: sc | tile_parity << 15.
+    gmeta per group byte: rg (3b) | clslow << 3 | tile_parity << 7.
+    step_meta columns: 0 start_flag, 1 start_parity, 2 start_wstart_sc,
+    3 next_tile_wstart_sc (-1 none), 4 complete_flag, 5 complete_parity.
     word per lane: (rowl+1) << 18 | (dep_lane+1) << 10 | m << 7 | lo.
     """
 
-    meta: np.ndarray        # [n_units, 8] int32
+    meta: np.ndarray        # [n_steps, 1, nb] int32 per-unit sc|parity
     gmeta: np.ndarray       # [n_steps, nb*NSUB/128, 128] int32 group bytes
+    step_meta: np.ndarray   # [n_steps, 1, 8] int32 per-step control
     out_idx: np.ndarray     # [n_steps] int32 out tile per grid step
     word: np.ndarray        # [n_units, NSUB, 128] int32 packed
     vals: np.ndarray        # [n_units, NSUB, 128] float32
+    tile_of_unit: np.ndarray   # [n_units] int32 (host-only: emulator/debug)
+    tile_wstart: np.ndarray    # [n_tiles] int32 (host-only)
     n: int
     nnz: int
     n_tiles: int
@@ -92,7 +96,7 @@ class StreamFormat:
 
     @property
     def n_units(self) -> int:
-        return self.meta.shape[0]
+        return self.meta.size
 
     @property
     def n_steps(self) -> int:
@@ -209,87 +213,94 @@ def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None
     g_sc = g_cls >> kb
     g_clslow = g_cls & ((1 << kb) - 1)
 
-    # --- pack groups into units (per tile, <=2 superchunks per unit) ------
-    units = []          # (tile, [group ids], sc_a, sc_b)
+    # --- pack groups into units (per tile, ONE superchunk per unit: the
+    # in-kernel chunk prep is then 1 dynamic load + 1 axis-0 gather) ------
+    # Vectorized: groups sorted by (tile, cls, rg); unit boundaries fall at
+    # (tile, sc) run changes and every NSUB groups within a run.
     g_order = np.lexsort((g_rg, g_cls, g_tile))
-    gt, gs = g_tile[g_order], g_sc[g_order]
-    t_bnd = np.searchsorted(gt, np.arange(n_tiles + 1))
-    tile_unit_count = np.zeros(n_tiles, np.int64)
-    for t in range(n_tiles):
-        lo_i, hi_i = t_bnd[t], t_bnd[t + 1]
-        cur, scs = [], []
-        for j in range(lo_i, hi_i):
-            s = int(gs[j])
-            if len(cur) == NSUB or (s not in scs and len(scs) == 2):
-                units.append((t, cur, scs[0], scs[-1]))
-                tile_unit_count[t] += 1
-                cur, scs = [], []
-            if s not in scs:
-                scs.append(s)
-            cur.append(int(g_order[j]))
-        if cur:
-            units.append((t, cur, scs[0], scs[-1]))
-            tile_unit_count[t] += 1
-        # every tile owns >= nb units: at most one tile completes per grid
-        # step, and a completing tile's flush always precedes the next
-        # same-parity tile's scratch zero
-        while tile_unit_count[t] < nb:
-            units.append((t, [], 0, 0))
-            tile_unit_count[t] += 1
-    while len(units) % nb:
-        units.append((n_tiles - 1, [], 0, 0))
-        tile_unit_count[n_tiles - 1] += 1
+    gt = g_tile[g_order]
+    gs = g_sc[g_order]
+    ts_run, ts_starts = _runs(gt * (w_sc + 1) + gs)
+    k_in_run = np.arange(gt.size, dtype=np.int64) - ts_starts[ts_run]
+    sub_of_group = k_in_run % NSUB
+    local_unit, lu_starts = _runs(ts_run * (gt.size // NSUB + 2)
+                                  + k_in_run // NSUB)
+    # units per tile before padding, then pad every tile to >= nb units
+    # (at most one tile starts/completes per grid step, and a completing
+    # tile's flush always precedes the next same-parity tile's zero) and
+    # the total to a multiple of nb (attributed to the last tile)
+    unit_tile = gt[lu_starts]
+    u_count = np.bincount(unit_tile, minlength=n_tiles)
+    p_count = np.maximum(u_count, nb)
+    total = int(p_count.sum())
+    pad_tail = (-total) % nb
+    p_count[n_tiles - 1] += pad_tail
+    total += pad_tail
+    offsets = np.concatenate([[0], np.cumsum(p_count)])
+    real_prefix = np.concatenate([[0], np.cumsum(u_count)])
+    unit_of_group = offsets[gt] + (local_unit - real_prefix[gt])
 
-    n_units = len(units)
+    n_units = total
     n_steps = n_units // nb
-    meta = np.zeros((n_units, 8), np.int32)
-    gmeta = np.zeros((n_units, NSUB), np.int32)
-    word_u = np.zeros((n_units, NSUB, 128), np.int32)
-    val_u = np.zeros((n_units, NSUB, 128), np.float32)
-
-    u_tile = np.array([u[0] for u in units], np.int64)
+    u_tile = np.repeat(np.arange(n_tiles, dtype=np.int64), p_count)
     first = np.concatenate([[True], u_tile[1:] != u_tile[:-1]])
     last = np.concatenate([u_tile[1:] != u_tile[:-1], [True]])
 
-    for i, (t, gids, sca, scb) in enumerate(units):
-        for s_i, g in enumerate(gids):
-            word_u[i, s_i] = word_g[g]
-            val_u[i, s_i] = val_g[g]
-            use_b = 1 if (g_sc[g] == scb and scb != sca) else 0
-            gmeta[i, s_i] = (int(g_rg[g]) | (use_b << 3)
-                             | (int(g_clslow[g]) << 4) | ((t % 2) << 7))
-        for s_i in range(len(gids), NSUB):
-            gmeta[i, s_i] = (t % 2) << 7   # empty group: rg 0, zero vals
-        meta[i, 0] = int(u_tile[i])
-        meta[i, 1] = int(first[i])
-        meta[i, 2] = int(last[i])
-        meta[i, 3] = sca
-        meta[i, 4] = scb
-        meta[i, 5] = int(start_sc[u_tile[i]])
-    first_ids = np.flatnonzero(first)
-    for j, i in enumerate(first_ids):
-        if j + 1 < first_ids.size:
-            meta[i, 6] = int(start_sc[u_tile[first_ids[j + 1]]])
-        else:
-            meta[i, 6] = -1
+    par_u = (u_tile % 2).astype(np.int32)
+    umeta = par_u << 15                     # sc | parity << 15
+    gmeta = np.broadcast_to((par_u << 7)[:, None],
+                            (n_units, NSUB)).copy()
+    word_u = np.zeros((n_units, NSUB, 128), np.int32)
+    val_u = np.zeros((n_units, NSUB, 128), np.float32)
+
+    gsorted = g_order
+    word_u[unit_of_group, sub_of_group] = \
+        word_g[gsorted] | (g_clslow[gsorted].astype(np.int32) << 26)[:, None]
+    val_u[unit_of_group, sub_of_group] = val_g[gsorted]
+    gmeta[unit_of_group, sub_of_group] |= \
+        (g_rg[gsorted] | (g_clslow[gsorted] << 3)).astype(np.int32)
+    np.bitwise_or.at(umeta, unit_of_group, gs.astype(np.int32))
 
     if (nb * NSUB) % 128:
         raise ValueError("nb * NSUB must be a multiple of 128")
     gmeta = gmeta.reshape(n_steps, nb * NSUB // 128, 128)
 
+    # per-step control: at most one tile starts and one completes per step
+    # (every tile owns >= nb units). Columns: 0 start_flag, 1 start_parity,
+    # 2 start_wstart_sc, 3 next_tile_wstart_sc (-1 = none), 4 complete_flag,
+    # 5 complete_parity.
+    step_meta = np.zeros((n_steps, 8), np.int32)
+    step_meta[:, 3] = -1
+    first_ids = np.flatnonzero(first)
+    for j, i in enumerate(first_ids):
+        s = i // nb
+        assert step_meta[s, 0] == 0, "two tile starts in one step"
+        step_meta[s, 0] = 1
+        step_meta[s, 1] = int(u_tile[i]) % 2
+        step_meta[s, 2] = int(start_sc[u_tile[i]])
+        if j + 1 < first_ids.size:
+            step_meta[s, 3] = int(start_sc[u_tile[first_ids[j + 1]]])
     out_idx = np.zeros(n_steps, np.int32)
     step_last_tile = np.full(n_steps, -1, np.int64)
     for i in np.flatnonzero(last):
-        assert step_last_tile[i // nb] < 0, "two completions in one step"
-        step_last_tile[i // nb] = u_tile[i]
+        s = i // nb
+        assert step_last_tile[s] < 0, "two completions in one step"
+        step_last_tile[s] = u_tile[i]
+        step_meta[s, 4] = 1
+        step_meta[s, 5] = int(u_tile[i]) % 2
     nxt_t = n_tiles - 1
     for s in range(n_steps - 1, -1, -1):
         if step_last_tile[s] >= 0:
             nxt_t = step_last_tile[s]
         out_idx[s] = nxt_t
 
-    return StreamFormat(meta=meta, gmeta=gmeta, out_idx=out_idx,
-                        word=word_u, vals=val_u, n=n, nnz=nnz,
+    return StreamFormat(meta=umeta.reshape(n_steps, 1, nb), gmeta=gmeta,
+                        step_meta=step_meta.reshape(n_steps, 1, 8),
+                        out_idx=out_idx,
+                        word=word_u, vals=val_u,
+                        tile_of_unit=u_tile.astype(np.int32),
+                        tile_wstart=start_sc.astype(np.int32),
+                        n=n, nnz=nnz,
                         n_tiles=n_tiles, w_sc=w_sc, kb=kb, nb=nb)
 
 
@@ -302,14 +313,16 @@ def emulate_stream(fmt: StreamFormat, x: np.ndarray) -> np.ndarray:
     x3 = xp.reshape(-1, TILE)
     y = np.zeros((fmt.n_tiles, 8, 128), np.float32)
     rounds = 8 >> fmt.kb
+    umeta = fmt.meta.reshape(-1)
     for i in range(fmt.n_units):
-        t, _, _, sc_a, sc_b, ws = fmt.meta[i, :6]
+        t = int(fmt.tile_of_unit[i])
+        ws = int(fmt.tile_wstart[t])
+        sc = int(umeta[i]) & 0x7FFF
         win = x3[ws: ws + fmt.w_sc].reshape(-1)
         gb = fmt.gmeta.reshape(-1, NSUB)[i]
         for s in range(NSUB):
             rg = gb[s] & 7
-            sc = sc_b if (gb[s] >> 3) & 1 else sc_a
-            clslow = (gb[s] >> 4) & 7
+            clslow = (gb[s] >> 3) & 7
             word = fmt.word[i, s]
             lo = word & 127
             m = (word >> 7) & 7
@@ -347,8 +360,11 @@ def _make_call(fmt: StreamFormat, interpret: bool = False):
     rounds = 8 >> kb
     n_steps, n_tiles = fmt.n_steps, fmt.n_tiles
 
-    def kernel(outidx_ref, meta_ref, gmeta_ref, word_ref, val_ref,
-               x_hbm, y_ref, win0, win1, yacc0, yacc1, slab, sem0, sem1):
+    B = nb * NSUB  # group rows per step
+
+    def kernel(outidx_ref, step_ref, meta_ref, gmeta_ref, word_ref,
+               val_ref, x_hbm, y_ref, win0, win1, yacc0, yacc1, chrows,
+               sem0, sem1):
         u = pl.program_id(0)
         bufs = (win0, win1)
         yaccs = (yacc0, yacc1)
@@ -360,85 +376,75 @@ def _make_call(fmt: StreamFormat, interpret: bool = False):
 
         @pl.when(u == 0)
         def _():
-            dma(0, meta_ref[0, 5]).start()
+            dma(0, step_ref[0, 0, 2]).start()
 
-        sub8 = jax.lax.broadcasted_iota(jnp.int32, (NSUB, 128), 0)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (NSUB, 128), 1)
-        # group bytes, 128 groups (16 units) per gmeta row
-        gmbs = [jax.lax.broadcast_in_dim(gmeta_ref[0, r], (NSUB, 128), (1,))
-                for r in range(nb * NSUB // 128)]
+        # phase 0: at most one tile starts per step — wait for its window
+        # (prefetched at an earlier step's end) and zero its accumulator
+        @pl.when(step_ref[0, 0, 0] == 1)
+        def _():
+            for parity in (0, 1):
+                @pl.when(step_ref[0, 0, 1] == parity)
+                def _(parity=parity):
+                    dma(parity, step_ref[0, 0, 2]).wait()
+                    yaccs[parity][...] = jnp.zeros_like(yaccs[parity])
 
-        # phase 1: per-unit gather + scan + deposit into the step slab
+        # phase 1: per-unit chunk prep — pick each group's chunk row out of
+        # its superchunk (1 dynamic window load + 1 axis-0 gather per round)
         for j in range(nb):
-            tile = meta_ref[j, 0]
-            first = meta_ref[j, 1]
-            sc_a = meta_ref[j, 3]
-            sc_b = meta_ref[j, 4]
-            nws = meta_ref[j, 6]
-
-            @pl.when(first == 1)
-            def _():
-                for parity in (0, 1):
-                    @pl.when(tile % 2 == parity)
-                    def _(parity=parity):
-                        dma(parity, meta_ref[j, 5]).wait()
-
-                        @pl.when(nws >= 0)
-                        def _():
-                            dma(1 - parity, nws).start()
-                        yaccs[parity][...] = jnp.zeros_like(yaccs[parity])
-
-            even = (tile % 2) == 0
-            SCa = jnp.where(even, win0[sc_a], win1[sc_a])
-            SCb = jnp.where(even, win0[sc_b], win1[sc_b])
-
-            # this unit's 8 group bytes, one per sublane
-            gby = jnp.take_along_axis(gmbs[j // 16], sub8 + 8 * (j % 16),
-                                      axis=1)
-            use_b = jnp.bitwise_and(jnp.right_shift(gby, 3), 1) == 1
-            clslow = jnp.bitwise_and(jnp.right_shift(gby, 4), 7)
-
-            word = word_ref[j]
-            lo = jnp.bitwise_and(word, 127)
-            rowl1 = jnp.right_shift(word, 18)
-            dep1 = jnp.bitwise_and(jnp.right_shift(word, 10), 255)
-
+            um = meta_ref[0, 0, j]
+            sc = jnp.bitwise_and(um, 0x7FFF)
+            even = jnp.right_shift(um, 15) == 0
+            SC = jnp.where(even, win0[sc], win1[sc])
+            cix = jnp.right_shift(word_ref[j], 26)
             if rounds == 1:
-                ch = clslow
-                opa = jnp.take_along_axis(SCa, ch, axis=0)
-                opb = jnp.take_along_axis(SCb, ch, axis=0)
-                g = jnp.take_along_axis(jnp.where(use_b, opb, opa), lo,
-                                        axis=1)
+                chrows[8 * j: 8 * j + 8] = jnp.take_along_axis(SC, cix,
+                                                               axis=0)
             else:
-                m = jnp.bitwise_and(jnp.right_shift(word, 7), 7)
-                g = jnp.zeros((NSUB, 128), jnp.float32)
                 for r in range(rounds):
-                    ch = clslow * rounds + r
-                    opa = jnp.take_along_axis(SCa, ch, axis=0)
-                    opb = jnp.take_along_axis(SCb, ch, axis=0)
-                    gg = jnp.take_along_axis(
-                        jnp.where(use_b, opb, opa), lo, axis=1)
-                    g = jnp.where(m == ch, gg, g)
-            prod = g * val_ref[j]
+                    chrows[r * B + 8 * j: r * B + 8 * j + 8] = \
+                        jnp.take_along_axis(SC, cix * rounds + r, axis=0)
 
-            # segmented scan along lanes (row runs <= 8, static 3 steps);
-            # shifts via dynamic_gather — pltpu.roll measured ~10x slower
-            for sh in (1, 2, 4):
-                sidx = jnp.maximum(lane8 - sh, 0)
-                same = jnp.logical_and(
-                    rowl1 == jnp.take_along_axis(rowl1, sidx, axis=1),
-                    lane8 >= sh)
-                prod = prod + jnp.where(
-                    same, jnp.take_along_axis(prod, sidx, axis=1), 0.0)
+        # phase 2: batched gather + segmented scan + deposit over the whole
+        # step ([B, 128] values — multi-vreg ops schedule far better than
+        # per-vreg [8, 128] ops)
+        word = word_ref[...].reshape(B, 128)
+        vals = val_ref[...].reshape(B, 128)
+        laneB = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        lo = jnp.bitwise_and(word, 127)
+        rowl1 = jnp.bitwise_and(jnp.right_shift(word, 18), 255)
+        dep1 = jnp.bitwise_and(jnp.right_shift(word, 10), 255)
+        if rounds == 1:
+            g = jnp.take_along_axis(chrows[...], lo, axis=1)
+        else:
+            m = jnp.bitwise_and(jnp.right_shift(word, 7), 7)
+            cls = jnp.right_shift(word, 26)
+            g = jnp.zeros((B, 128), jnp.float32)
+            for r in range(rounds):
+                gg = jnp.take_along_axis(chrows[r * B:(r + 1) * B], lo,
+                                         axis=1)
+                g = jnp.where(m == cls * rounds + r, gg, g)
+        prod = g * vals
 
-            valid = dep1 >= 1
-            dep = jnp.take_along_axis(
-                prod, jnp.where(valid, dep1 - 1, 0), axis=1)
-            slab[8 * j: 8 * j + 8] = jnp.where(valid, dep, 0.0)
+        # segmented scan along lanes (row runs <= 8, static 3 steps);
+        # shifts via dynamic_gather — pltpu.roll measured ~10x slower
+        for sh in (1, 2, 4):
+            sidx = jnp.maximum(laneB - sh, 0)
+            same = jnp.logical_and(
+                rowl1 == jnp.take_along_axis(rowl1, sidx, axis=1),
+                laneB >= sh)
+            prod = prod + jnp.where(
+                same, jnp.take_along_axis(prod, sidx, axis=1), 0.0)
 
-        # phase 2: route the group rows into the two active tiles'
-        # accumulators with one one-hot matmul per (parity, slab half)
+        valid = dep1 >= 1
+        dep = jnp.take_along_axis(
+            prod, jnp.where(valid, dep1 - 1, 0), axis=1)
+        dacc = jnp.where(valid, dep, 0.0)
+
+        # phase 3: route the group rows into the two active tiles'
+        # accumulators with one one-hot matmul per (parity, 128-row chunk)
         sub_out = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        gmbs = [jax.lax.broadcast_in_dim(gmeta_ref[0, r], (NSUB, 128), (1,))
+                for r in range(B // 128)]
         for parity in (0, 1):
             acc = yaccs[parity][...]
             for r, gmb in enumerate(gmbs):
@@ -446,28 +452,38 @@ def _make_call(fmt: StreamFormat, interpret: bool = False):
                     jnp.bitwise_and(gmb, 7) == sub_out,
                     jnp.right_shift(gmb, 7) == parity).astype(jnp.float32)
                 acc = acc + jax.lax.dot_general(
-                    oht, slab[128 * r: 128 * (r + 1)],
+                    oht, dacc[128 * r: 128 * (r + 1)],
                     (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
             yaccs[parity][...] = acc
 
-        # phase 3: flush the completing tile (at most one per step)
-        for j in range(nb):
-            @pl.when(meta_ref[j, 2] == 1)
-            def _(j=j):
-                for parity in (0, 1):
-                    @pl.when(meta_ref[j, 0] % 2 == parity)
-                    def _(parity=parity):
-                        y_ref[0] = yaccs[parity][...]
+        # phase 4: flush the completing tile (at most one per step)
+        @pl.when(step_ref[0, 0, 4] == 1)
+        def _():
+            for parity in (0, 1):
+                @pl.when(step_ref[0, 0, 5] == parity)
+                def _(parity=parity):
+                    y_ref[0] = yaccs[parity][...]
+
+        # phase 5: prefetch the next tile's window AFTER this step's reads
+        # of the buffer it overwrites (units of the two-tiles-ago parity)
+        @pl.when(jnp.logical_and(step_ref[0, 0, 0] == 1, step_ref[0, 0, 3] >= 0))
+        def _():
+            for parity in (0, 1):
+                @pl.when(step_ref[0, 0, 1] == parity)
+                def _(parity=parity):
+                    dma(1 - parity, step_ref[0, 0, 3]).start()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((nb, 8), lambda u, o: (u, 0),
+            pl.BlockSpec((1, 1, 8), lambda u, o: (u, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb * NSUB // 128, 128),
+            pl.BlockSpec((1, 1, nb), lambda u, o: (u, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B // 128, 128),
                          lambda u, o: (u, 0, 0)),
             pl.BlockSpec((nb, NSUB, 128), lambda u, o: (u, 0, 0)),
             pl.BlockSpec((nb, NSUB, 128), lambda u, o: (u, 0, 0)),
@@ -479,7 +495,7 @@ def _make_call(fmt: StreamFormat, interpret: bool = False):
             pltpu.VMEM((w_sc, 8, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((nb * NSUB, 128), jnp.float32),
+            pltpu.VMEM((rounds * B, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -517,9 +533,9 @@ class StreamSpMV:
         call = _make_call(fmt, interpret=interpret)
 
         def pack(f):
-            return (jnp.asarray(f.out_idx), jnp.asarray(f.meta),
-                    jnp.asarray(f.gmeta), jnp.asarray(f.word),
-                    jnp.asarray(f.vals))
+            return (jnp.asarray(f.out_idx), jnp.asarray(f.step_meta),
+                    jnp.asarray(f.meta), jnp.asarray(f.gmeta),
+                    jnp.asarray(f.word), jnp.asarray(f.vals))
 
         fwd_args = pack(fmt)
         self._call = call

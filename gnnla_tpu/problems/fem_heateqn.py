@@ -47,6 +47,13 @@ def heateqn_fem_2d(num_cells, h_all, bcs=(1, 1), *, dtype=None):
     """
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
+    return SparseOperator.from_scipy(
+        heateqn_fem_2d_host(num_cells, h_all, bcs), dtype=dtype)
+
+
+def heateqn_fem_2d_host(num_cells, h_all, bcs=(1, 1)) -> sp.coo_matrix:
+    """Host-only (pure numpy/scipy) twin of `heateqn_fem_2d` — safe for
+    dataset-generation worker processes, which must never import jax."""
     nx, ny = int(num_cells[0]), int(num_cells[1])
     h = float(h_all[0])
     alpha = float(h_all[1]) / h
@@ -92,7 +99,7 @@ def heateqn_fem_2d(num_cells, h_all, bcs=(1, 1), *, dtype=None):
     K = K.tocoo()
     K.sum_duplicates()
     K.eliminate_zeros()
-    return SparseOperator.from_scipy(K, dtype=dtype)
+    return K
 
 
 def stretched_mesh_matrix(n_cells: int, stretch: float, *, dtype=None):

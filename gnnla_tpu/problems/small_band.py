@@ -22,7 +22,15 @@ def small_band_matrix(n: int, h: float, band_loc: float = 0.5, *,
     """n = vertices per side of the base grid; h = band half-grid width."""
     import jax.numpy as jnp
     dtype = dtype or jnp.float32
+    K, xy, bl = small_band_matrix_host(n, h, band_loc)
+    return (SparseOperator.from_scipy(K, dtype=dtype), xy, bl)
 
+
+def small_band_matrix_host(n: int, h: float, band_loc: float = 0.5):
+    """Host-only twin of `small_band_matrix` returning (scipy COO, xy,
+    band_loc) — safe to run in dataset-generation worker processes, which
+    must never import jax (on tunneled TPU backends a second process would
+    contend for the device)."""
     x_grid = np.linspace(0.0, 1.0, n)
     band_idx = int(np.abs(x_grid - band_loc).argmin())
     x_band_loc = x_grid[band_idx]
@@ -56,4 +64,4 @@ def small_band_matrix(n: int, h: float, band_loc: float = 0.5, *,
             keep.append(i)
     keep = np.array(keep)
     K = K[keep][:, keep].tocoo()
-    return (SparseOperator.from_scipy(K, dtype=dtype), xy[keep], x_band_loc)
+    return K, xy[keep], x_band_loc

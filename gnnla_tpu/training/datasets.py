@@ -28,6 +28,48 @@ from gnnla_tpu.problems.diffusion_fem import (alpha_beta_targets,
 from gnnla_tpu.problems.small_band import small_band_matrix
 
 
+# ------------------------------------------------- parallel generation
+def _parallel_map(fn, args_list, min_parallel: int = 64):
+    """Host-process fan-out for matrix generation (the role joblib plays in
+    the reference, Data.py:143, data.py:76). Workers are forked and run
+    pure-numpy builders only — they must never touch jax (a second process
+    on a tunneled TPU backend contends for the device). Serial fallback for
+    small jobs, single-core hosts, or GNNLA_SERIAL_DATAGEN=1."""
+    n_workers = os.cpu_count() or 1
+    if (len(args_list) < min_parallel or n_workers < 2
+            or os.environ.get("GNNLA_SERIAL_DATAGEN")):
+        return [fn(a) for a in args_list]
+    import multiprocessing as mp
+    ctx = mp.get_context("fork")
+    with ctx.Pool(processes=min(n_workers, 8)) as pool:
+        return pool.map(fn, args_list, chunksize=max(1,
+                        len(args_list) // (4 * n_workers)))
+
+
+def _gen_small_band(args):
+    from gnnla_tpu.problems.small_band import small_band_matrix_host
+    n, h, band_loc = args
+    return small_band_matrix_host(n, h, band_loc)
+
+
+def _gen_cosine(args):
+    from gnnla_tpu.problems.diffusion_fem import (assemble_periodic,
+                                                  cosine_field,
+                                                  element_stiffness_field)
+    thetas, n, convection = args
+    tax, tay, tbx, tby = thetas
+    ke = element_stiffness_field(n, cosine_field(tax, tay),
+                                 cosine_field(tbx, tby),
+                                 convection=convection)
+    return assemble_periodic(ke, n)
+
+
+def _gen_stretched(args):
+    from gnnla_tpu.problems.fem_heateqn import heateqn_fem_2d_host
+    n_cells, stretch = args
+    return heateqn_fem_2d_host((n_cells, n_cells), (1.0, stretch), (2, 2))
+
+
 @dataclasses.dataclass
 class StackedGraphs:
     """A bucket of same-pattern graphs, stacked for vmap.
@@ -126,16 +168,17 @@ def small_band_dataset(num_matrices: int, *, n: int = 38,
             return _load_stacked(cache)
 
     rng = np.random.default_rng(seed)
-    ops, coords, hs, blocs = [], [], [], []
+    args, hs = [], []
     for _ in range(num_matrices):
         h_high = 1.0 / (2 * (n - 2))
         h = (h_high - h_low) * rng.random() + h_low
         band_loc = 0.9 * rng.random() + 0.05
-        K, xy, bl = small_band_matrix(n, h, band_loc)
-        ops.append(K)
-        coords.append(xy)
+        args.append((n, h, band_loc))
         hs.append(h)
-        blocs.append(bl)
+    results = _parallel_map(_gen_small_band, args)
+    ops = [SparseOperator.from_scipy(K) for K, _, _ in results]
+    coords = [xy for _, xy, _ in results]
+    blocs = [bl for _, _, bl in results]
 
     template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
     ds = StackedGraphs(template=template, template_nodiag=nodiag,
@@ -170,9 +213,8 @@ def stretched_mesh_dataset(num_matrices: int, *, n_cells: int = 5,
         if os.path.exists(cache):
             return _load_stacked(cache)
 
-    from gnnla_tpu.problems.fem_heateqn import stretched_mesh_matrix
     rng = np.random.default_rng(seed)
-    ops, stretches, coords = [], [], []
+    stretches = []
     # eliminated Dirichlet BCs keep the interior (n_cells-1)^2 vertices
     xs_int = np.linspace(0.0, 1.0, n_cells + 1)[1:-1]
     for i in range(num_matrices):
@@ -182,13 +224,14 @@ def stretched_mesh_dataset(num_matrices: int, *, n_cells: int = 5,
             slot = (max_stretch - 1.0) / max(num_matrices - 1, 1)
             stretch = min(max(1.0, stretch + slot * (rng.random() - 0.5)),
                           max_stretch)
-        K = stretched_mesh_matrix(n_cells, stretch)
-        ops.append(K)
         stretches.append(stretch)
-        xy = np.stack(np.meshgrid(xs_int, xs_int, indexing="xy"),
-                      axis=-1).reshape(-1, 2)
-        assert xy.shape[0] == K.shape[0], (xy.shape, K.shape)
-        coords.append(xy)
+    hosts = _parallel_map(_gen_stretched,
+                          [(n_cells, st) for st in stretches])
+    ops = [SparseOperator.from_scipy(K) for K in hosts]
+    xy = np.stack(np.meshgrid(xs_int, xs_int, indexing="xy"),
+                  axis=-1).reshape(-1, 2)
+    assert xy.shape[0] == ops[0].shape[0], (xy.shape, ops[0].shape)
+    coords = [xy] * num_matrices
 
     template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
     ds = StackedGraphs(template=template, template_nodiag=nodiag,
@@ -203,6 +246,7 @@ def stretched_mesh_dataset(num_matrices: int, *, n_cells: int = 5,
 # --------------------------------------------------------------- diffusion
 def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
                              max_freq: float = 3.0, seed: int = 41,
+                             convection=None,
                              cache_dir: Optional[str] = None
                              ) -> StackedGraphs:
     """Cosine-diffusion FEM matrices at fixed resolution n.
@@ -210,27 +254,33 @@ def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
     Mirrors RandomCosineDiffusionDataset (data.py:137-221): thetas drawn
     from {0, 0.5, ..., max_freq}; targets y = [alpha_i, beta_i]; global = h.
     Edge features (built downstream) are [A_ij, rel_x, rel_y] with periodic
-    wraparound (data.py:102-127).
+    wraparound (data.py:102-127). `convection=(cx, cy)` adds the advection
+    term of CosineDiffusionConvectionFEM_Builder (FEM.py:231-239; the
+    reference uses (0.1, 0)).
     """
     cache = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
+        ckey = "" if convection is None else \
+            f"_c{convection[0]}_{convection[1]}"
         cache = os.path.join(
             cache_dir,
-            f"cosdiff_{num_matrices}_{n}_{max_freq}_{seed}.npz")
+            f"cosdiff_{num_matrices}_{n}_{max_freq}_{seed}{ckey}.npz")
         if os.path.exists(cache):
             return _load_stacked(cache)
 
     rng = np.random.default_rng(seed)
     freqs = [0.5 * i for i in range(int(2 * max_freq) + 1)
              if 0.5 * i <= max_freq]
-    ops, targets, thetas_all = [], [], []
+    targets, thetas_all = [], []
     for _ in range(num_matrices):
         thetas = rng.choice(freqs, 4, replace=True)
-        ops.append(cosine_diffusion_matrix(tuple(thetas), n))
         a, b = alpha_beta_targets(tuple(thetas), n)
         targets.append(np.stack([a, b], axis=1))
         thetas_all.append(thetas)
+    hosts = _parallel_map(
+        _gen_cosine, [(tuple(t), n, convection) for t in thetas_all])
+    ops = [SparseOperator.from_scipy(K) for K in hosts]
 
     template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
     h = 1.0 / n
@@ -334,6 +384,10 @@ def frequency_study_dataset(*, n: int = 32, max_freq: float = 4.0,
 _PROBLEM_TYPES = {
     "cosine": lambda num, n, max_freq, seed, cache: cosine_diffusion_dataset(
         num, n=n, max_freq=max_freq, seed=seed, cache_dir=cache),
+    # CosineDiffusionConvectionFEM_Builder's field (FEM.py:231-239)
+    "cosine_convection": lambda num, n, max_freq, seed, cache:
+        cosine_diffusion_dataset(num, n=n, max_freq=max_freq, seed=seed,
+                                 convection=(0.1, 0.0), cache_dir=cache),
     "constant": lambda num, n, max_freq, seed, cache:
         constant_diffusion_dataset(num, n=n, mode="random", seed=seed,
                                    cache_dir=cache),

@@ -34,6 +34,7 @@ class TrainDiffusionConfig:
     num_matrices: int = 1000
     n_mesh: int = 32            # reference trains at 80-100; configurable
     max_freq: float = 3.0
+    convection: Optional[Tuple[float, float]] = None  # e.g. (0.1, 0.0)
     n_layers_external: int = 1
     n_layers_internal: int = 3
     n_hidden: int = 64
@@ -84,6 +85,7 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
         dataset = cosine_diffusion_dataset(cfg.num_matrices, n=cfg.n_mesh,
                                            max_freq=cfg.max_freq,
                                            seed=cfg.seed,
+                                           convection=cfg.convection,
                                            cache_dir=cfg.cache_dir)
     B = dataset.n_graphs
     n_tr = int(B * cfg.split[0])

@@ -52,6 +52,10 @@ class TrainJacobiConfig:
     cache_dir: Optional[str] = "data_cache"
     checkpoint_dir: Optional[str] = None
     log_every: int = 1
+    # data-parallel training: shard the batch over the first n_devices
+    # devices (None = single device). The loss is a mean over the batch, so
+    # sharded and single-device runs produce identical loss curves.
+    n_devices: Optional[int] = None
 
 
 def _predict_batch(params, model, ds: StackedGraphs, offdiag_vals, diags):
@@ -97,9 +101,19 @@ def _draw_probes(ds: StackedGraphs, idx, m, rng):
 
 
 def train(config: TrainJacobiConfig = TrainJacobiConfig(),
-          dataset: Optional[StackedGraphs] = None):
-    """Returns (params, history dict)."""
+          dataset: Optional[StackedGraphs] = None, mesh=None):
+    """Returns (params, history dict).
+
+    `mesh` (or cfg.n_devices) turns on data-parallel training: batch
+    arguments are sharded over the mesh's 'data' axis, parameters and
+    optimizer state are replicated, and XLA inserts the gradient psum —
+    the jitted step is the same pure function either way (the pattern
+    validated by __graft_entry__.dryrun_multichip).
+    """
     cfg = config
+    if mesh is None and cfg.n_devices:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:cfg.n_devices]), ("data",))
     rng = np.random.default_rng(cfg.seed)
     if dataset is None:
         dataset = small_band_dataset(cfg.num_matrices, n=cfg.n_mesh,
@@ -125,7 +139,6 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     _, va_dia = va.dia_stack()
     _, te_dia = te.dia_stack()
 
-    @jax.jit
     def train_step(params, opt_state, dia_diags, offdiag_vals, diags,
                    probes, plateau_value):
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -135,7 +148,26 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    eval_loss = jax.jit(loss_fn)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndev = mesh.devices.size
+        if cfg.batch_size % ndev:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by the mesh's "
+                f"{ndev} devices")
+        s_b = NamedSharding(mesh, P("data"))
+        s_r = NamedSharding(mesh, P())
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(s_r, s_r, s_b, s_b, s_b, s_b, s_r),
+            out_shardings=(s_r, s_r, s_r))
+        # eval batches (val/test) need not divide the mesh: replicate them
+        eval_loss = jax.jit(loss_fn,
+                            in_shardings=(s_r, s_r, s_r, s_r, s_r),
+                            out_shardings=s_r)
+    else:
+        train_step = jax.jit(train_step)
+        eval_loss = jax.jit(loss_fn)
 
     def as_f32(a):
         return jnp.asarray(a, jnp.float32)

@@ -68,21 +68,23 @@ def test_stream_invariants(rng):
     assert fmt.word.shape == (fmt.n_units, NSUB, 128)
     assert fmt.n_units == fmt.n_steps * nb
     # every tile owns >= nb units and they are contiguous
-    tiles = fmt.meta[:, 0]
+    tiles = fmt.tile_of_unit
     assert (np.diff(tiles) >= 0).all()
     _, counts = np.unique(tiles, return_counts=True)
     assert (counts >= nb).min()
-    # exactly one first and one last unit per tile
-    assert fmt.meta[:, 1].sum() == fmt.n_tiles
-    assert fmt.meta[:, 2].sum() == fmt.n_tiles
-    # at most one completing unit per grid step
-    last_steps = np.flatnonzero(fmt.meta[:, 2]) // nb
-    assert np.unique(last_steps).size == last_steps.size
+    # at most one tile start and one completion per grid step
+    firsts = np.flatnonzero(np.concatenate([[1], np.diff(tiles)]) != 0)
+    lasts = np.flatnonzero(
+        np.concatenate([np.diff(tiles), [1]]) != 0)
+    assert np.unique(firsts // nb).size == firsts.size
+    assert np.unique(lasts // nb).size == lasts.size
+    assert fmt.step_meta[:, 0, 0].sum() == fmt.n_tiles
+    assert fmt.step_meta[:, 0, 4].sum() == fmt.n_tiles
     # out_idx covers every tile, non-decreasing
     assert (np.diff(fmt.out_idx) >= 0).all()
     assert np.unique(fmt.out_idx).size == fmt.n_tiles
-    # packed word fields in range
-    assert int(fmt.word.max()) < (1 << 26)
+    # packed word fields in range (cls in bits 26+, dep lane+1 <= 128)
+    assert int(fmt.word.max()) < (1 << 29)
     dep1 = (fmt.word >> 10) & 255
     assert int(dep1.max()) <= 128
     # total real value mass preserved

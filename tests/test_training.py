@@ -222,3 +222,26 @@ def test_profile_trace_writes(tmp_path):
     found = any("trace" in root or files
                 for root, _, files in os.walk(tmp_path))
     assert found
+
+
+def test_convection_diffusion_end_to_end(tmp_path):
+    """Convection-diffusion family (CosineDiffusionConvectionFEM_Builder,
+    reference FEM.py:231-239): dataset, data module and a train smoke run
+    (VERDICT r1 item 6)."""
+    from gnnla_tpu.training.datasets import diffusion_data_module
+    from gnnla_tpu.training.train_diffusion import (TrainDiffusionConfig,
+                                                    train)
+
+    tr, va, te = diffusion_data_module("cosine_convection", num_matrices=8,
+                                       n=8, cache_dir=None)
+    assert tr.n_graphs + va.n_graphs + te.n_graphs == 8
+    # convection makes K genuinely nonsymmetric
+    A = tr.template.with_values(tr.vals[0]).to_scipy()
+    assert abs(A - A.T).max() > 1e-8
+
+    cfg = TrainDiffusionConfig(num_matrices=8, n_mesh=8, epochs=2,
+                               batch_size=4, n_hidden=8,
+                               convection=(0.1, 0.0), cache_dir=None)
+    params, hist = train(cfg)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] <= hist["train_loss"][0] * 1.5
