@@ -58,7 +58,7 @@ class EdgeAggregator:
 
     def sum(self, data: Array) -> Array:
         return segment.segment_sum(self._masked(data, 0.0), self.rows,
-                                   self.n_vertices, sorted=True)
+                                   self.n_vertices, is_sorted=True)
 
     def mean(self, data: Array) -> Array:
         # mean over *real* edges only
@@ -67,18 +67,18 @@ class EdgeAggregator:
         if self.mask is not None:
             ones = jnp.where(self.mask, ones, jnp.zeros_like(ones))
         count = segment.segment_sum(ones, self.rows, self.n_vertices,
-                                    sorted=True)
+                                    is_sorted=True)
         if data.ndim > 1:
             count = count[:, None]
         return total / jnp.maximum(count, 1)
 
     def max(self, data: Array) -> Array:
         return segment.segment_max(self._masked(data, -jnp.inf), self.rows,
-                                   self.n_vertices, sorted=True)
+                                   self.n_vertices, is_sorted=True)
 
     def min(self, data: Array) -> Array:
         return segment.segment_min(self._masked(data, jnp.inf), self.rows,
-                                   self.n_vertices, sorted=True)
+                                   self.n_vertices, is_sorted=True)
 
     def multi(self, reduces: Sequence[str], data: Array) -> Array:
         """Feature-wise concat of several reductions ([E,F] -> [N, len*F])."""

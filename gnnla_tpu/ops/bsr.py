@@ -77,7 +77,7 @@ class BSROperator:
         gathered = xt[self.block_cols]                    # [nb, B, m]
         prod = jnp.einsum("kij,kjm->kim", self.blocks, gathered,
                           preferred_element_type=self.blocks.dtype)
-        y = segment_sum(prod, self.block_rows, nbr, sorted=True)
+        y = segment_sum(prod, self.block_rows, nbr, is_sorted=True)
         y = y.reshape(nbr * B, -1)[: self.n]
         return y[:, 0] if vec else y
 
@@ -92,7 +92,7 @@ class BSROperator:
                             jnp.diagonal(self.blocks, axis1=1, axis2=2),
                             0.0)
         out = segment_sum(contrib, self.block_rows, self.n_block_rows,
-                          sorted=True)
+                          is_sorted=True)
         return out.reshape(-1)[: self.n]
 
 

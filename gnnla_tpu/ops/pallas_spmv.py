@@ -134,9 +134,15 @@ class PallasDiaSpMV:
     embedding in your own jit/scan, call `apply(self.diags, x_pad)` with
     diags passed through your function's parameters.
 
-    apply(op_args, x_pad) : pure differentiable-in-x function, safe to use
-                            inside jit/scan/grad; VJP is the transposed
-                            DIA SpMV
+    apply(op_args, x_pad) : pure differentiable function, safe to use
+                            inside jit/scan/grad. The x cotangent is the
+                            transposed DIA SpMV (another fused kernel);
+                            the diags cotangent is the REAL gradient
+                            d diags[k, i] = ybar[i] * x[i + offset_k]
+                            (K shifted elementwise products in XLA), so
+                            training operator values through the Pallas
+                            path is exact. diags_T carries zero cotangent
+                            (it never affects the forward output).
     op_args               : (diags [K, n_pad], diags_T) device arrays —
                             pass through your jit's parameters
     to_padded / from_padded : [n] <-> [T + n_pad + T] layout converters
@@ -161,22 +167,33 @@ class PallasDiaSpMV:
         self._raw_call = call
         self._raw_call_t = call_t
 
-        # Differentiable (w.r.t. x) apply: the VJP of y = A x is
+        # Differentiable apply. The x cotangent of y = A x is
         # xbar = A^T ybar — another DIA SpMV on the transposed diagonals.
-        # op_args = (diags, diags_t) is threaded as an explicit argument
-        # (never a closure constant — see the class docstring); it carries
-        # zero cotangent (operator values are trained through the jnp
-        # DIAOperator path, not pallas).
+        # The diags cotangent is real: the interior rows satisfy
+        # y_pad[T + i] = sum_k diags[k, i] * x_pad[T + i + offsets[k]],
+        # so d diags[k, i] = ybar_pad[T + i] * x_pad[T + i + offsets[k]] —
+        # K shifted elementwise products (static slices; tile >= halo is a
+        # kernel invariant, so T + offset >= 0). op_args = (diags, diags_t)
+        # is threaded as an explicit argument (never a closure constant —
+        # see the class docstring); diags_t never affects the forward
+        # output, so its cotangent is zero by definition.
+        offsets = dia.offsets
+
         @jax.custom_vjp
         def apply(op_args, x_pad):
             return call(op_args[0], x_pad)
 
         def fwd(op_args, x_pad):
-            return call(op_args[0], x_pad), op_args[1]
+            return call(op_args[0], x_pad), (op_args[1], x_pad)
 
-        def bwd(d_t, ybar):
-            return ((jnp.zeros_like(d_t), jnp.zeros_like(d_t)),
-                    call_t(d_t, ybar))
+        def bwd(res, ybar):
+            d_t, x_pad = res
+            xbar = call_t(d_t, ybar)
+            yb = ybar[tile:tile + n_pad]
+            ddiags = jnp.stack([
+                yb * x_pad[tile + off:tile + off + n_pad]
+                for off in offsets]).astype(d_t.dtype)
+            return ((ddiags, jnp.zeros_like(d_t)), xbar)
 
         apply.defvjp(fwd, bwd)
         self.op_args = (diags, diags_t)

@@ -24,13 +24,15 @@ one-time load there is ZERO HBM traffic per step — the VPU is the roofline.
 Measured on a v5e at 2048x2048 (21M edges): ~1.07e12 edges/s, ~10x the
 streaming DIA kernel, bit-exact vs the jnp DIA matvec.
 
-Differentiability: `PallasStencilSpMV.apply` carries a custom VJP in x
-(cotangent = the transposed-shift stencil, another fused kernel); taps
-gradients are zero by construction (intermediates never leave VMEM) — for
-losses trained through the taps (spectral/Gelfand over a trained-Jacobi
-propagator) use `stencil_matvec_jnp`, the jnp-rolls twin with full XLA
-autodiff, which `training.spectral_loss.damping_factor_gelfand_stencil`
-builds on.
+Differentiability: `PallasStencilSpMV.apply` carries a full custom VJP.
+The x cotangent is the transposed-shift stencil (another fused kernel);
+the taps cotangent is the REAL gradient, computed by re-running the
+iteration through `stencil_matvec_jnp` (the jnp-rolls twin) under
+`jax.vjp` — exact, but it stores the n_steps intermediate iterates, so
+differentiating a large-n_steps apply costs n_steps * H * W floats of
+memory. Losses trained through the taps (spectral/Gelfand over a
+trained-Jacobi propagator) can also use `stencil_matvec_jnp` directly,
+which `training.spectral_loss.damping_factor_gelfand_stencil` builds on.
 """
 
 from __future__ import annotations
@@ -66,6 +68,19 @@ def stencil_taps(op: SparseOperator, grid_shape: Tuple[int, int]):
         raise ValueError(f"grid {h}x{w} needs a square {h * w}-row "
                          f"operator, got {op.shape}")
     rows, cols, vals = op.host_coo()
+    shifts, k_idx = stencil_classes(rows, cols, h, w)
+    planes = np.zeros((len(shifts), h * w), np.float64)
+    np.add.at(planes, (k_idx, rows), vals)
+    return shifts, planes
+
+
+def stencil_classes(rows, cols, h: int, w: int):
+    """Modular shift classes of a COO pattern on an h x w grid.
+
+    Returns (shifts, k_idx): shifts the list of (dy, dx) classes, k_idx the
+    per-nonzero class index (aligned with `rows`/`cols` order — so stacked
+    same-pattern value arrays can be scattered into [B, K, H*W] planes with
+    one np.add.at, the batched twin of `stencil_taps`)."""
     r, c = rows // w, rows % w
     rj, cj = cols // w, cols % w
     dy = (rj - r) % h
@@ -76,10 +91,8 @@ def stencil_taps(op: SparseOperator, grid_shape: Tuple[int, int]):
         raise ValueError(
             f"pattern has {uniq.size} (dy, dx) shift classes "
             f"(> {MAX_TAPS}); not a stencil on a {h}x{w} grid")
-    planes = np.zeros((uniq.size, h * w), np.float64)
-    np.add.at(planes, (k_idx, rows), vals)
     shifts = [(int(u) // w, int(u) % w) for u in uniq]
-    return shifts, planes
+    return shifts, k_idx
 
 
 def _vmem_budget() -> int:
@@ -270,13 +283,15 @@ class PallasStencilSpMV:
                                  as a jit ARGUMENT (never close over it —
                                  remote compilers inline closure constants
                                  into the shipped program).
-                                 Differentiable in x via a custom VJP whose
+                                 Differentiable in BOTH arguments: the x
                                  cotangent is the transposed-shift stencil
-                                 run n_steps times (another fused kernel).
-                                 NOT differentiable in taps (intermediates
-                                 stay in VMEM): the taps cotangent raises
-                                 under jax.grad. Train through
-                                 `stencil_matvec_jnp` instead.
+                                 run n_steps times (another fused kernel);
+                                 the taps cotangent is exact, recomputed
+                                 through the jnp-rolls twin (stores the
+                                 n_steps intermediates — fine for solver
+                                 compositions, heavy for n_steps >> 10;
+                                 train through `stencil_matvec_jnp` when
+                                 that matters).
     matvec_n(x)                  [n] convenience wrapper
     """
 
@@ -307,22 +322,38 @@ class PallasStencilSpMV:
         call_t = _build_stencil_call(shifts_t, h, w, n_steps, tap_dtype,
                                      "plain")
 
+        def f_jnp(taps, x2d):
+            # jnp twin of the fused loop: identical tap semantics, full
+            # XLA autodiff (used only inside bwd, for the taps cotangent)
+            tf = taps.astype(jnp.float32)
+
+            def step(x, _):
+                return stencil_matvec_jnp(tf, shifts, x), None
+
+            y, _ = jax.lax.scan(step, x2d, None, length=n_steps)
+            return y
+
         @jax.custom_vjp
         def apply(taps, x2d):
             return call(taps, x2d)
 
         def fwd(taps, x2d):
-            return call(taps, x2d), taps
+            return call(taps, x2d), (taps, x2d)
 
-        def bwd(taps, ybar):
-            # x cotangent = (A^T)^n ybar; the transposed taps are rebuilt
-            # from the residual taps with K device rolls so nothing large
-            # is closed over. Taps cotangent is ZERO (documented above):
-            # intermediates never leave VMEM — train via stencil_matvec_jnp.
+        def bwd(res, ybar):
+            taps, x2d = res
+            # x cotangent = (A^T)^n ybar via the fused transposed kernel;
+            # the transposed taps are rebuilt from the residual taps with
+            # K device rolls so nothing large is closed over.
             _, planes_t = stencil_transpose(shifts,
                                             taps.astype(jnp.float32))
-            return (jnp.zeros_like(taps),
-                    call_t(planes_t.astype(taps.dtype), ybar))
+            xbar = call_t(planes_t.astype(taps.dtype), ybar)
+            # taps cotangent: exact, via jax.vjp through the jnp twin
+            # (recomputes the n_steps intermediates; its redundant x
+            # cotangent is dead code XLA removes under jit).
+            _, vjp_fn = jax.vjp(f_jnp, taps, x2d)
+            tbar, _ = vjp_fn(ybar)
+            return (tbar, xbar)
 
         apply.defvjp(fwd, bwd)
         self.apply = apply

@@ -40,8 +40,11 @@ Measured on v5e (n=1M, 37M-nnz k-NN-32 operator, RCM-ordered): ~1e10+
 edges/s vs 1.3e8 for the XLA gather path and ~1.1e9 for host-CPU scipy
 CSR — the "torch_scatter execution model" this replaces.
 
-Differentiable in x via a custom VJP (the cotangent is A^T ybar — the same
-kernel built on the transposed operator).
+Differentiable via a custom VJP: the x cotangent is A^T ybar (the same
+kernel built on the transposed operator); the vals cotangent is the REAL
+gradient d vals[slot] = ybar[row(slot)] * x[col(slot)], with the slot ->
+(row, col) map reconstructed from the packed words (an XLA gather pass —
+dead code the compiler removes under jit when only x is differentiated).
 """
 
 from __future__ import annotations
@@ -348,6 +351,35 @@ def emulate_stream(fmt: StreamFormat, x: np.ndarray) -> np.ndarray:
     return y.reshape(-1)[: fmt.n]
 
 
+def _make_emulate_call(fmt: StreamFormat):
+    """CI twin of `_make_call`: same (out_idx, ..., vals, x3) signature, but
+    routed through the numpy emulator via `jax.pure_callback` — jittable
+    (works under scan), so solver compositions over the stream operator can
+    be parity-tested on CPU where Mosaic is unavailable. `vals` flows
+    through the callback, so with_values-style updates and the custom VJP
+    behave identically to the hardware path."""
+    import jax
+    import jax.numpy as jnp
+
+    def call(out_idx, step_meta, meta, gmeta, word, vals, x3):
+        del out_idx, step_meta, meta, gmeta, word  # fmt carries the layout
+
+        def host(vals_h, x3_h):
+            f2 = dataclasses.replace(fmt, vals=np.asarray(vals_h,
+                                                          np.float32))
+            y = emulate_stream(f2, np.asarray(x3_h).reshape(-1)[: fmt.n])
+            out = np.zeros((fmt.n_tiles, NSUB, 128), np.float32)
+            out.reshape(-1)[: fmt.n] = y
+            return out
+
+        return jax.pure_callback(
+            host,
+            jax.ShapeDtypeStruct((fmt.n_tiles, NSUB, 128), jnp.float32),
+            vals, x3)
+
+    return call
+
+
 # --------------------------------------------------------------------- TPU
 
 def _make_call(fmt: StreamFormat, interpret: bool = False):
@@ -506,31 +538,82 @@ def _make_call(fmt: StreamFormat, interpret: bool = False):
         interpret=interpret)
 
 
+def _vals_cotangent_fn(fmt: StreamFormat):
+    """Build the vals-gradient reconstruction for one stream pack.
+
+    d vals[u, s, l] = ybar[row(slot)] * x[col(slot)] on real slots; the
+    slot -> (row, col) map comes from the packed word (rowl, m, lo), the
+    group byte (rg), the unit superchunk (meta) and two tiny per-unit/tile
+    tables — exactly the addressing of `emulate_stream`, vectorized. The
+    tables are n_units + n_tiles int32s, small enough to close over.
+    """
+    import jax.numpy as jnp
+
+    tou = jnp.asarray(fmt.tile_of_unit, jnp.int32)
+    tws = jnp.asarray(fmt.tile_wstart, jnp.int32)
+    n_units, nsub = fmt.n_units, NSUB
+
+    def cot(pack, x3, ybar):
+        _, _, meta, gmeta, word, _ = pack
+        word = word.reshape(n_units, nsub, 128)
+        sc = jnp.bitwise_and(meta.reshape(n_units), 0x7FFF)
+        rg = jnp.bitwise_and(gmeta.reshape(n_units, nsub), 7)
+        rowl1 = jnp.bitwise_and(jnp.right_shift(word, 18), 255)
+        m = jnp.bitwise_and(jnp.right_shift(word, 7), 7)
+        lo = jnp.bitwise_and(word, 127)
+        row = (tou[:, None, None] * TILE + rg[:, :, None] * 128
+               + rowl1 - 1)
+        col = ((tws[tou] + sc)[:, None, None] * TILE + m * 128 + lo)
+        valid = rowl1 >= 1
+        g = (ybar.reshape(-1)[jnp.where(valid, row, 0)]
+             * x3.reshape(-1)[col])
+        return jnp.where(valid, g, 0.0)
+
+    return cot
+
+
 class StreamSpMV:
-    """Compiled stream SpMV with a custom VJP (cotangent = A^T ybar).
+    """Compiled stream SpMV with a full custom VJP.
 
     Same conventions as PallasDiaSpMV (ops/pallas_spmv.py): operator data
     is threaded through jit as *arguments* (`op_args`), never closed over —
     on tunneled backends closure constants are inlined into the program
     shipped to the compiler and compile time scales with matrix bytes.
 
-    apply(op_args, x3)  : differentiable-in-x; x3 is the padded vector in
+    apply(op_args, x3)  : differentiable in x (cotangent = A^T ybar, the
+                          stream kernel on the transposed operator) AND in
+                          the forward vals slots (real per-slot gradient
+                          ybar[row] * x[col]; rows/cols are reconstructed
+                          from the packed words, so the grad path costs no
+                          extra HBM and is DCE'd when unused). The int
+                          layout arrays and the transposed-operator pack
+                          never affect the forward output — zero cotangent
+                          by definition. x3 is the padded vector in
                           superchunk layout [L/1024, 8, 128]; returns y in
                           the same layout (chainable with zero copies).
     matvec(x)           : convenience y = A @ x on [n] vectors.
     """
 
     def __init__(self, A_csr, nb: int = 32, kb: Optional[int] = None,
-                 with_transpose: bool = True, interpret: bool = False):
+                 with_transpose: bool = True, interpret: bool = False,
+                 backend: str = "pallas"):
         import jax
         import jax.numpy as jnp
+
+        if backend not in ("pallas", "emulate"):
+            raise ValueError(f"unknown backend {backend!r}")
+
+        def maker(f):
+            if backend == "emulate":
+                return _make_emulate_call(f)
+            return _make_call(f, interpret=interpret)
 
         fmt = build_stream(A_csr, nb=nb, kb=kb)
         self.fmt = fmt
         self.n = fmt.n
         self.nnz = fmt.nnz
         self.padded_len = fmt.padded_len
-        call = _make_call(fmt, interpret=interpret)
+        call = maker(fmt)
 
         def pack(f):
             return (jnp.asarray(f.out_idx), jnp.asarray(f.step_meta),
@@ -546,10 +629,12 @@ class StreamSpMV:
             fmt_t = build_stream(At, nb=nb, kb=kb)
             if fmt_t.padded_len != fmt.padded_len:
                 raise AssertionError("square operator: padded lens differ")
-            call_t = _make_call(fmt_t, interpret=interpret)
+            call_t = maker(fmt_t)
             bwd_args = pack(fmt_t)
+            vc_t = _vals_cotangent_fn(fmt_t)
         else:
-            call_t, bwd_args = None, None
+            call_t, bwd_args, vc_t = None, None, None
+        vc = _vals_cotangent_fn(fmt)
 
         @jax.custom_vjp
         def apply(op_args, x3):
@@ -557,17 +642,45 @@ class StreamSpMV:
             return y.reshape(x3.shape)
 
         def fwd(op_args, x3):
-            return apply(op_args, x3), op_args
+            return apply(op_args, x3), (op_args, x3)
 
-        def bwd(op_args, ybar):
+        def bwd(res, ybar):
+            op_args, x3 = res
             if call_t is None:
                 raise ValueError("built with with_transpose=False; "
                                  "gradient unavailable")
             xbar = call_t(*op_args[1], ybar).reshape(ybar.shape)
             zeros = jax.tree_util.tree_map(jnp.zeros_like, op_args)
-            return (zeros, xbar)
+            dvals = vc(op_args[0], x3, ybar)
+            cot = ((zeros[0][:5] + (dvals,)), zeros[1])
+            return (cot, xbar)
 
         apply.defvjp(fwd, bwd)
+
+        # the transposed apply (x = A^T y) — rmatvec for StreamOperator;
+        # its VJP mirrors apply's with the roles of the two packs swapped
+        if with_transpose:
+            @jax.custom_vjp
+            def apply_t(op_args, y3):
+                x = call_t(*op_args[1], y3)
+                return x.reshape(y3.shape)
+
+            def fwd_t(op_args, y3):
+                return apply_t(op_args, y3), (op_args, y3)
+
+            def bwd_t(res, xbar):
+                op_args, y3 = res
+                ybar = call(*op_args[0], xbar).reshape(xbar.shape)
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, op_args)
+                dvals_t = vc_t(op_args[1], y3, xbar)
+                cot = (zeros[0], (zeros[1][:5] + (dvals_t,)))
+                return (cot, ybar)
+
+            apply_t.defvjp(fwd_t, bwd_t)
+            self.apply_t = apply_t
+        else:
+            self.apply_t = None
+
         self.op_args = (fwd_args, bwd_args)
         self.apply = apply
         self._japply = jax.jit(apply)

@@ -32,36 +32,36 @@ Array = jax.Array
 
 
 def segment_sum(data: Array, segment_ids: Array, num_segments: int,
-                sorted: bool = False) -> Array:
+                is_sorted: bool = False) -> Array:
     return jax.ops.segment_sum(data, segment_ids, num_segments,
-                               indices_are_sorted=sorted)
+                               indices_are_sorted=is_sorted)
 
 
 def segment_mean(data: Array, segment_ids: Array, num_segments: int,
-                 sorted: bool = False) -> Array:
+                 is_sorted: bool = False) -> Array:
     total = jax.ops.segment_sum(data, segment_ids, num_segments,
-                                indices_are_sorted=sorted)
+                                indices_are_sorted=is_sorted)
     ones = jnp.ones(data.shape[:1], dtype=data.dtype)
     count = jax.ops.segment_sum(ones, segment_ids, num_segments,
-                                indices_are_sorted=sorted)
+                                indices_are_sorted=is_sorted)
     if data.ndim > 1:
         count = jnp.expand_dims(count, tuple(range(1, data.ndim)))
     return total / jnp.maximum(count, 1)
 
 
 def segment_max(data: Array, segment_ids: Array, num_segments: int,
-                sorted: bool = False) -> Array:
+                is_sorted: bool = False) -> Array:
     out = jax.ops.segment_max(data, segment_ids, num_segments,
-                              indices_are_sorted=sorted)
+                              indices_are_sorted=is_sorted)
     # torch_scatter fills empty segments with 0 — match that so SOC rows with
     # no off-diagonal entries behave identically (SOCClassicGNN.py:69).
     return jnp.where(jnp.isneginf(out), jnp.zeros_like(out), out)
 
 
 def segment_min(data: Array, segment_ids: Array, num_segments: int,
-                sorted: bool = False) -> Array:
+                is_sorted: bool = False) -> Array:
     out = jax.ops.segment_min(data, segment_ids, num_segments,
-                              indices_are_sorted=sorted)
+                              indices_are_sorted=is_sorted)
     return jnp.where(jnp.isposinf(out), jnp.zeros_like(out), out)
 
 
@@ -74,19 +74,19 @@ _REDUCERS = {
 
 
 def segment_reduce(reduce: str, data: Array, segment_ids: Array,
-                   num_segments: int, sorted: bool = False) -> Array:
+                   num_segments: int, is_sorted: bool = False) -> Array:
     """Dispatch on reducer name ('sum' | 'mean' | 'max' | 'min')."""
     try:
         fn = _REDUCERS[reduce]
     except KeyError:
         raise ValueError(f"unknown reducer {reduce!r}; "
                          f"expected one of {sorted(_REDUCERS)}") from None
-    return fn(data, segment_ids, num_segments, sorted=sorted)
+    return fn(data, segment_ids, num_segments, is_sorted=is_sorted)
 
 
 def multi_segment_reduce(reduces: Sequence[str], data: Array,
                          segment_ids: Array, num_segments: int,
-                         sorted: bool = False) -> Array:
+                         is_sorted: bool = False) -> Array:
     """Concatenate several reductions feature-wise.
 
     The learned models use a fixed 4-way (min, mean, sum, max) aggregation
@@ -94,7 +94,7 @@ def multi_segment_reduce(reduces: Sequence[str], data: Array,
     Input [E, F] -> output [num_segments, len(reduces) * F].
     """
     data2d = data if data.ndim > 1 else data[:, None]
-    outs = [segment_reduce(r, data2d, segment_ids, num_segments, sorted=sorted)
+    outs = [segment_reduce(r, data2d, segment_ids, num_segments, is_sorted=is_sorted)
             for r in reduces]
     return jnp.concatenate(outs, axis=-1)
 

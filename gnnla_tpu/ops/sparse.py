@@ -175,7 +175,7 @@ class SparseOperator:
             products = gathered * self.vals[:, None]
         else:
             products = gathered * self.vals
-        return segment_sum(products, self.rows, self.n_rows, sorted=True)
+        return segment_sum(products, self.rows, self.n_rows, is_sorted=True)
 
     def __matmul__(self, x: Array) -> Array:
         return self.matvec(x)
@@ -191,7 +191,7 @@ class SparseOperator:
             products = gathered * self.vals[:, None]
         else:
             products = gathered * self.vals
-        return segment_sum(products, self.cols, self.n_cols, sorted=False)
+        return segment_sum(products, self.cols, self.n_cols, is_sorted=False)
 
     def sddmm(self, U: Array, V: Array) -> Array:
         """Sampled dense-dense matmul: e_k = <U[rows_k], V[cols_k]>.

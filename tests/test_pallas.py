@@ -370,3 +370,60 @@ def test_gelfand_stencil_grad_parity(rng):
     v2, g2 = jax.value_and_grad(f_st)(d0)
     np.testing.assert_allclose(v1, v2, rtol=1e-5)
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_dia_vals_grad(rng):
+    """Real operator-value gradient through the fused DIA kernel:
+    d/d diags[k, i] of w . (A x) == w_pad[i] * x_pad[i + offset_k]."""
+    from gnnla_tpu.ops.pallas_spmv import make_dia_spmv_padded
+    A = laplacian_2d(16).eliminate_zeros()
+    dia = to_dia(A)
+    pmv = make_dia_spmv_padded(dia, tile=1024)
+    n = 256
+    x = jnp.asarray(rng.random(n), jnp.float32)
+    w = jnp.asarray(rng.random(n), jnp.float32)
+    x_pad = pmv.to_padded(x)
+    w_pad = pmv.to_padded(w)
+
+    def loss(diags):
+        return jnp.vdot(w_pad, pmv.apply((diags, pmv.diags_t), x_pad))
+
+    g = np.asarray(jax.grad(loss)(pmv.diags))
+    wp = np.zeros(pmv.n_pad)
+    wp[:n] = np.asarray(w)
+    xp = np.zeros(pmv.n_pad + 2 * max(abs(o) for o in dia.offsets) + 1)
+    xp[:n] = np.asarray(x)
+    expected = np.zeros((len(dia.offsets), pmv.n_pad))
+    for k, off in enumerate(dia.offsets):
+        for i in range(pmv.n_pad):
+            j = i + off
+            if 0 <= j < n:
+                expected[k, i] = wp[i] * xp[j]
+    np.testing.assert_allclose(g, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_stencil_taps_grad(rng):
+    """Real taps gradient through the fused stencil: for y = T^2 x and
+    loss w . y, dT = w (Tx)^T + (T^T w) x^T mapped onto the tap planes."""
+    from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv
+    h = w_ = 12
+    A = laplacian_2d(h).eliminate_zeros().scale(1.0 / 8.0)
+    st = make_stencil_spmv(A, (h, w_), n_steps=2)
+    x = rng.random(h * w_).astype(np.float32)
+    wv = rng.random(h * w_).astype(np.float32)
+    x2 = jnp.asarray(x).reshape(h, w_)
+    w2 = jnp.asarray(wv).reshape(h, w_)
+
+    def loss(taps):
+        return jnp.vdot(w2, st.apply(taps, x2))
+
+    g = np.asarray(jax.grad(loss)(st.taps)).reshape(len(st.shifts), -1)
+    T = np.asarray(A.to_dense(), np.float64)
+    dT = np.outer(wv, T @ x) + np.outer(T.T @ wv, x)
+    expected = np.zeros_like(g)
+    for k, (dy, dx) in enumerate(st.shifts):
+        for p in range(h * w_):
+            r, c = divmod(p, w_)
+            q = ((r + dy) % h) * w_ + (c + dx) % w_
+            expected[k, p] = dT[p, q]
+    np.testing.assert_allclose(g, expected, rtol=1e-4, atol=1e-5)
