@@ -201,6 +201,30 @@ def setup_with_dia(setup: TwoGridSetup,
                                Ac=try_dia(setup.Ac))
 
 
+def setup_with_stream(setup: TwoGridSetup, *, nb: int = 32,
+                      kb: Optional[int] = None, backend: str = "pallas",
+                      interpret: bool = False) -> TwoGridSetup:
+    """Swap the fine operator A for its stream-kernel twin — the TPU fast
+    path for *unstructured* graphs (where `setup_with_dia` would refuse or
+    degrade). Every kernel the cycle calls uses only the matvec/diagonal
+    protocol, which `StreamOperator` satisfies, so the same `vcycle` runs
+    unchanged on the lane-local-gather Pallas kernel (ops/pallas_stream.py)
+    instead of the scatter-bound COO path. Ac stays COO: the coarse grid is
+    small and often below the stream kernel's tile granularity.
+
+    This is the composition reach the reference gets from instantiating
+    every kernel on the same torch_scatter edge list
+    (/root/reference/pytorch/VCycle.py:175-237)."""
+    from gnnla_tpu.ops.stream_op import stream_operator
+
+    if not isinstance(setup.A, SparseOperator):
+        raise ValueError("setup.A already swapped; build the stream twin "
+                         "from the COO setup")
+    A_s = stream_operator(setup.A, nb=nb, kb=kb, backend=backend,
+                          interpret=interpret)
+    return dataclasses.replace(setup, A=A_s)
+
+
 class StencilVCycle:
     """Two-grid cycle with the fine level fully fused into Pallas kernels.
 
