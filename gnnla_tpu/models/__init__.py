@@ -10,10 +10,11 @@ from gnnla_tpu.models.direct_interp import direct_interp
 from gnnla_tpu.models.geometric import (GeometricVCycle,
     make_geometric_vcycle)
 from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
-    setup_with_dia, vcycle, solve, StencilVCycle, make_stencil_vcycle)
+    setup_with_dia, setup_with_stream, vcycle, solve, StencilVCycle,
+    make_stencil_vcycle)
 from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
     multigrid_cycle, multigrid_solve)
-from gnnla_tpu.models.krylov import cg, amg_pcg
+from gnnla_tpu.models.krylov import cg, amg_pcg, mg_pcg
 
 __all__ = [
     "matvec", "matvec_gnn", "MatVecBlock",
@@ -24,7 +25,11 @@ __all__ = [
     "power_method", "power_method_gnn",
     "soc_classic", "soc_sa", "soc_classic_blocks",
     "direct_interp",
-    "TwoGridSetup", "setup_twogrid", "vcycle", "solve",
+    "TwoGridSetup", "setup_twogrid", "setup_with_dia",
+    "setup_with_stream", "vcycle", "solve",
     "StencilVCycle", "make_stencil_vcycle",
     "GeometricVCycle", "make_geometric_vcycle",
+    "cg", "amg_pcg", "mg_pcg",
+    "MultigridSetup", "setup_multigrid", "multigrid_cycle",
+    "multigrid_solve",
 ]

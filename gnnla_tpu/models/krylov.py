@@ -82,3 +82,32 @@ def amg_pcg(setup: TwoGridSetup, b, x0, *, n_iters: int,
 
     return cg(matvec, s * jnp.ravel(b), x0, n_iters=n_iters,
               precond=precond)
+
+
+def mg_pcg(setup, b, x0, *, n_iters: int, n_smooth: int = 1,
+           omega: float = 0.7, coarse_deg: int = 8,
+           flip_sign: bool = False):
+    """CG preconditioned by one MULTILEVEL V-cycle per iteration.
+
+    The two-grid `amg_pcg` stalls at large N (its Chebyshev "coarse solve"
+    acts on a still-large coarse grid); with a full multilevel hierarchy
+    (`models.multigrid.setup_multigrid`) the preconditioner quality is
+    N-independent, so iterations to a fixed tolerance stay flat as the
+    problem grows — the production large-scale solve path.
+    """
+    from gnnla_tpu.models.multigrid import MultigridSetup, multigrid_cycle
+
+    assert isinstance(setup, MultigridSetup)
+    s = 1.0 if not flip_sign else -1.0
+    A = setup.As[0]
+
+    def matvec(v):
+        return s * A.matvec(v)
+
+    def precond(r):
+        return multigrid_cycle(setup, s * r, jnp.zeros_like(r),
+                               n_pre=n_smooth, n_post=n_smooth, omega=omega,
+                               coarse_deg=coarse_deg)
+
+    return cg(matvec, s * jnp.ravel(b), x0, n_iters=n_iters,
+              precond=precond)
