@@ -29,15 +29,29 @@ from gnnla_tpu.problems.small_band import small_band_matrix
 
 
 # ------------------------------------------------- parallel generation
+def _accelerator_initialized() -> bool:
+    """True when this process already initialized a non-CPU jax backend
+    (fork-unsafe: the child inherits the device/grpc client state)."""
+    import jax
+    try:
+        backends = jax._src.xla_bridge._backends  # noqa: SLF001
+    except AttributeError:  # private layout changed — assume unsafe
+        return True
+    return any(name != "cpu" for name in backends)
+
+
 def _parallel_map(fn, args_list, min_parallel: int = 64):
     """Host-process fan-out for matrix generation (the role joblib plays in
     the reference, Data.py:143, data.py:76). Workers are forked and run
     pure-numpy builders only — they must never touch jax (a second process
     on a tunneled TPU backend contends for the device). Serial fallback for
-    small jobs, single-core hosts, or GNNLA_SERIAL_DATAGEN=1."""
+    small jobs, single-core hosts, GNNLA_SERIAL_DATAGEN=1, or when the
+    parent already holds a live non-CPU jax client (forking a process that
+    owns a TPU/grpc handle can deadlock even if the child never uses it)."""
     n_workers = os.cpu_count() or 1
     if (len(args_list) < min_parallel or n_workers < 2
-            or os.environ.get("GNNLA_SERIAL_DATAGEN")):
+            or os.environ.get("GNNLA_SERIAL_DATAGEN")
+            or _accelerator_initialized()):
         return [fn(a) for a in args_list]
     import multiprocessing as mp
     ctx = mp.get_context("fork")
@@ -257,6 +271,15 @@ def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
     wraparound (data.py:102-127). `convection=(cx, cy)` adds the advection
     term of CosineDiffusionConvectionFEM_Builder (FEM.py:231-239; the
     reference uses (0.1, 0)).
+
+    Deliberate divergence: the reference assembles K[k,l]=K[l,k] from the
+    k<=l integral (FEM.py:122-128), which silently SYMMETRIZES the
+    convection term — i.e. its "convection" operators are still symmetric
+    and the advective part is half-lost. Here the advection integral is
+    assembled unsymmetrized (physically correct: convection-diffusion
+    operators are nonsymmetric), so the convection dataset distribution
+    intentionally differs from the reference's quirk
+    (tests/test_training.py asserts the nonsymmetry end-to-end).
     """
     cache = None
     if cache_dir:

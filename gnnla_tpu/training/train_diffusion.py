@@ -49,6 +49,13 @@ class TrainDiffusionConfig:
     cache_dir: Optional[str] = "data_cache"
     checkpoint_dir: Optional[str] = None
     log_every: int = 1
+    # data-parallel training: shard the batch over the first n_devices
+    # devices (None = single device). The reference gets this from
+    # Lightning's accelerator='auto', devices='auto'
+    # (DiffCoeffs/train.py:181-182); here the same jitted step runs under
+    # a 'data'-axis mesh with replicated params — XLA inserts the
+    # gradient psum, so loss curves match the single-device run.
+    n_devices: Optional[int] = None
 
 
 def edge_features(ds: StackedGraphs, n_mesh: int) -> np.ndarray:
@@ -78,7 +85,12 @@ def loss_terms(pred, targets):
 
 
 def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
-          dataset: Optional[StackedGraphs] = None):
+          dataset: Optional[StackedGraphs] = None, mesh=None):
+    """Returns (best_params, history dict).
+
+    `mesh` (or cfg.n_devices) turns on data-parallel training: batch
+    arguments are sharded over the mesh's 'data' axis, parameters and
+    optimizer state replicated (same pattern as train_jacobi.train)."""
     cfg = config
     rng = np.random.default_rng(cfg.seed)
     if dataset is None:
@@ -87,6 +99,9 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
                                            seed=cfg.seed,
                                            convection=cfg.convection,
                                            cache_dir=cfg.cache_dir)
+    if mesh is None and cfg.n_devices:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:cfg.n_devices]), ("data",))
     B = dataset.n_graphs
     n_tr = int(B * cfg.split[0])
     n_va = int(B * cfg.split[1])
@@ -119,7 +134,6 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
         pred = apply_batch(params, ov, d, g)
         return loss_terms(pred, y)
 
-    @jax.jit
     def train_step(params, opt_state, ov, d, g, y, plateau_value):
         loss, grads = jax.value_and_grad(loss_fn)(params, ov, d, g, y)
         updates, opt_state = tx.update(grads, opt_state, params,
@@ -127,7 +141,26 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    eval_loss = jax.jit(loss_fn)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ndev = mesh.devices.size
+        if cfg.batch_size % ndev:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by the mesh's "
+                f"{ndev} devices")
+        s_b = NamedSharding(mesh, P("data"))
+        s_r = NamedSharding(mesh, P())
+        train_step = jax.jit(
+            train_step,
+            in_shardings=(s_r, s_r, s_b, s_b, s_b, s_b, s_r),
+            out_shardings=(s_r, s_r, s_r))
+        # val/test batches need not divide the mesh: replicate them
+        eval_loss = jax.jit(loss_fn,
+                            in_shardings=(s_r, s_r, s_r, s_r, s_r),
+                            out_shardings=s_r)
+    else:
+        train_step = jax.jit(train_step)
+        eval_loss = jax.jit(loss_fn)
 
     def f32(a):
         return jnp.asarray(a, jnp.float32)

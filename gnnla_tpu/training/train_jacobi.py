@@ -49,6 +49,10 @@ class TrainJacobiConfig:
     omega: float = 2.0 / 3.0
     widths: tuple = (50, 20, 1)
     init_scheme: str = "reference"
+    # layout the Gelfand-loss SpMMs run on: "dia" (shift-based, any banded
+    # pattern) or "stencil" (grid-roll planes — the fastest layout for
+    # square-grid buckets; numerics identical, tests assert parity)
+    loss_layout: str = "dia"
     cache_dir: Optional[str] = "data_cache"
     checkpoint_dir: Optional[str] = None
     log_every: int = 1
@@ -66,30 +70,102 @@ def _predict_batch(params, model, ds: StackedGraphs, offdiag_vals, diags):
     return jax.vmap(one)(offdiag_vals, diags)
 
 
-def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int):
-    """Batched spectral loss.
+def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
+                 layout: str = "dia"):
+    """Batched spectral loss on a gather-free matrix layout.
 
-    The Gelfand damping-factor SpMMs run on the DIA (shift-based) layout:
-    gather-free, faster than scatter segment-sums on TPU, and identical
-    numerics (tests assert parity with the COO path). `vals` therefore
-    arrives as stacked DIA diagonals [B, K, N] from `ds.dia_stack()`.
+    layout="dia": the Gelfand damping-factor SpMMs run on the DIA
+    (shift-based) layout — gather-free, faster than scatter segment-sums on
+    TPU, identical numerics to the COO path (tests assert parity). The
+    matrix argument is stacked DIA diagonals [B, K, N] from
+    `matrix_stack(ds, "dia")`.
+
+    layout="stencil": grid-roll tap planes [B, K, H, W] (square-grid
+    buckets only) — the propagator applies as H x W rolls
+    (spectral_loss.damping_factor_gelfand_stencil), the layout behind the
+    all-stencil fast paths in ops/pallas_stencil. Same numerics; the
+    fastest train step on grid datasets (bench.py `train` stanza records
+    both).
     """
-    from gnnla_tpu.ops.dia import DIAOperator
-
-    offsets, _ = ds.dia_stack()
     n = ds.template.n_rows
-    nnz = ds.template.nnz
 
-    def loss_fn(params, dia_diags, offdiag_vals, diags, probes):
+    if layout == "dia":
+        from gnnla_tpu.ops.dia import DIAOperator
+
+        offsets, _ = ds.dia_stack()
+        nnz = ds.template.nnz
+
+        def one(mat, d, y):
+            op = DIAOperator(diags=mat, offsets=offsets, n=n, nnz=nnz)
+            return spectral_loss.damping_factor_gelfand(op, d, omega, y,
+                                                        k=k)
+    elif layout == "stencil":
+        shifts, h, w = _stencil_meta(ds)
+
+        def one(mat, d, y):
+            return spectral_loss.damping_factor_gelfand_stencil(
+                mat, shifts, d.reshape(h, w), omega,
+                y.reshape(h, w, -1), k=k)
+    else:
+        raise ValueError(f"unknown loss layout {layout!r}; "
+                         "expected 'dia' or 'stencil'")
+
+    def loss_fn(params, mats, offdiag_vals, diags, probes):
         dvals = _predict_batch(params, model, ds, offdiag_vals, diags)
-
-        def one(dd, d, y):
-            op = DIAOperator(diags=dd, offsets=offsets, n=n, nnz=nnz)
-            return spectral_loss.damping_factor_gelfand(op, d, omega, y, k=k)
-
-        return jnp.mean(jax.vmap(one)(dia_diags, dvals, probes))
+        return jnp.mean(jax.vmap(one)(mats, dvals, probes))
 
     return loss_fn
+
+
+def _stencil_meta(ds: StackedGraphs):
+    """(shifts, h, w) of a grid bucket's shared pattern.
+
+    The grid shape comes from the vertex coordinates when present (tensor-
+    product mesh, row-major numbering — verified, not assumed), else from
+    sqrt(n). Non-grid buckets fail loudly: either the shape check here or
+    the shift-class bound in `stencil_classes` raises."""
+    import math
+
+    n = ds.template.n_rows
+    h = w = None
+    if ds.coords is not None:
+        xy = np.asarray(ds.coords[0])
+        ux, uy = np.unique(xy[:, 0]), np.unique(xy[:, 1])
+        if len(ux) * len(uy) == n:
+            ix = np.searchsorted(ux, xy[:, 0])
+            iy = np.searchsorted(uy, xy[:, 1])
+            if np.array_equal(iy * len(ux) + ix, np.arange(n)):
+                h, w = len(uy), len(ux)
+    if h is None:
+        h = w = math.isqrt(n)
+        if h * h != n:
+            raise ValueError(
+                f"loss_layout='stencil' needs a tensor-product grid "
+                f"bucket; could not infer a grid shape for n_rows={n}")
+    from gnnla_tpu.ops.pallas_stencil import stencil_classes
+
+    rows, cols, _ = ds.template.host_coo()
+    shifts, _ = stencil_classes(rows, cols, h, w)
+    return shifts, h, w
+
+
+def matrix_stack(ds: StackedGraphs, layout: str):
+    """Host-precomputed stacked matrix data for `make_loss_fn`'s first
+    batch argument: DIA diagonals [B, K, N] or stencil planes
+    [B, K, H, W]."""
+    if layout == "dia":
+        _, stack = ds.dia_stack()
+        return stack
+    shifts, h, w = _stencil_meta(ds)
+    from gnnla_tpu.ops.pallas_stencil import stencil_classes
+
+    rows, cols, _ = ds.template.host_coo()
+    _, k_idx = stencil_classes(rows, cols, h, w)
+    b = ds.vals.shape[0]
+    planes = np.zeros((b, len(shifts) * h * w), np.float32)
+    flat = (k_idx * (h * w) + rows).astype(np.int64)
+    np.add.at(planes, (np.arange(b)[:, None], flat[None, :]), ds.vals)
+    return planes.reshape(b, len(shifts), h, w)
 
 
 def _draw_probes(ds: StackedGraphs, idx, m, rng):
@@ -134,15 +210,16 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
                                                            patience=10))
     opt_state = tx.init(params)
 
-    loss_fn = make_loss_fn(model, dataset, cfg.omega, cfg.gelfand_k)
-    _, tr_dia = tr.dia_stack()
-    _, va_dia = va.dia_stack()
-    _, te_dia = te.dia_stack()
+    loss_fn = make_loss_fn(model, dataset, cfg.omega, cfg.gelfand_k,
+                           layout=cfg.loss_layout)
+    tr_mat = matrix_stack(tr, cfg.loss_layout)
+    va_mat = matrix_stack(va, cfg.loss_layout)
+    te_mat = matrix_stack(te, cfg.loss_layout)
 
-    def train_step(params, opt_state, dia_diags, offdiag_vals, diags,
+    def train_step(params, opt_state, mats, offdiag_vals, diags,
                    probes, plateau_value):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, dia_diags, offdiag_vals, diags, probes)
+            params, mats, offdiag_vals, diags, probes)
         updates, opt_state = tx.update(grads, opt_state, params,
                                        value=plateau_value)
         params = optax.apply_updates(params, updates)
@@ -192,13 +269,13 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
             probes = _draw_probes(tr, idx, cfg.m_probes, rng)
             params, opt_state, loss = train_step(
                 params, opt_state,
-                as_f32(tr_dia[idx]), as_f32(tr.offdiag_vals[idx]),
+                as_f32(tr_mat[idx]), as_f32(tr.offdiag_vals[idx]),
                 as_f32(tr.diags[idx]), as_f32(probes),
                 jnp.asarray(val_loss, jnp.float32))
             epoch_loss += float(loss) * len(idx)
             n_seen += len(idx)
 
-        val_loss = float(eval_loss(params, as_f32(va_dia),
+        val_loss = float(eval_loss(params, as_f32(va_mat),
                                    as_f32(va.offdiag_vals),
                                    as_f32(va.diags), as_f32(val_probes)))
         dt = time.time() - t0
@@ -213,7 +290,7 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
 
     # held-out test loss
     te_probes = _draw_probes(te, range(te.n_graphs), cfg.m_probes, rng)
-    test_loss = float(eval_loss(params, as_f32(te_dia),
+    test_loss = float(eval_loss(params, as_f32(te_mat),
                                 as_f32(te.offdiag_vals), as_f32(te.diags),
                                 as_f32(te_probes)))
     history["test_loss"] = test_loss

@@ -245,3 +245,88 @@ def test_convection_diffusion_end_to_end(tmp_path):
     params, hist = train(cfg)
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] <= hist["train_loss"][0] * 1.5
+
+
+def test_train_jacobi_data_parallel_parity(tmp_path):
+    """TrainJacobiConfig(n_devices=8) must reproduce the single-device loss
+    curves: params/optimizer replicated, batch sharded over the 'data' axis,
+    XLA inserting the gradient psum (the accelerator='auto' role of the
+    reference trainer, TrainableJacobiDiag/train.py:99-128)."""
+    from gnnla_tpu.training import small_band_dataset
+
+    ds = small_band_dataset(16, n=10, seed=7, cache_dir=str(tmp_path))
+    base = dict(num_matrices=16, n_mesh=10, epochs=3, batch_size=8,
+                n_train=12, n_val=2, n_test=2, m_probes=8,
+                cache_dir=None, log_every=0)
+    _, h1 = train_jacobi(TrainJacobiConfig(**base), dataset=ds)
+    _, h8 = train_jacobi(TrainJacobiConfig(**base, n_devices=8), dataset=ds)
+    np.testing.assert_allclose(h8["train_loss"], h1["train_loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(h8["val_loss"], h1["val_loss"], rtol=1e-4)
+
+
+def test_train_diffusion_data_parallel_parity(tmp_path):
+    """Same contract for the diffusion trainer (reference runs it under
+    Lightning accelerator='auto', devices='auto', DiffCoeffs/train.py:181)."""
+    ds = cosine_diffusion_dataset(16, n=8, seed=11, cache_dir=str(tmp_path))
+    base = dict(num_matrices=16, n_mesh=8, epochs=3, batch_size=8,
+                n_hidden=8, n_layers_external=1, n_layers_internal=2,
+                cache_dir=None, log_every=0, patience=50)
+    _, h1 = train_diffusion(TrainDiffusionConfig(**base), dataset=ds)
+    _, h8 = train_diffusion(TrainDiffusionConfig(**base, n_devices=8),
+                            dataset=ds)
+    np.testing.assert_allclose(h8["train_loss"], h1["train_loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(h8["val_loss"], h1["val_loss"], rtol=1e-4)
+
+
+def test_train_jacobi_rejects_indivisible_batch():
+    with pytest.raises(ValueError, match="divisible"):
+        train_jacobi(TrainJacobiConfig(num_matrices=8, n_mesh=10, epochs=1,
+                                       batch_size=6, n_train=6, n_val=1,
+                                       n_test=1, cache_dir=None,
+                                       n_devices=8, log_every=0))
+
+
+def test_stencil_loss_layout_parity():
+    """make_loss_fn(layout='stencil') must match the DIA layout in both
+    value and gradient — the grid-roll propagator is the same T = I -
+    omega D^-1 A (reference loss contract,
+    TrainableJacobiDiag/loss.py:105-128), only the matrix layout differs."""
+    from gnnla_tpu.training.train_jacobi import (make_loss_fn, matrix_stack,
+                                                 _draw_probes)
+    from gnnla_tpu.training import small_band_dataset
+
+    ds = small_band_dataset(4, n=10, seed=7, cache_dir=None)
+    from gnnla_tpu.models.trainable_jacobi import TrainableJacobiMLP
+    model = TrainableJacobiMLP(widths=(50, 20, 1))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5),
+                                                         jnp.float32))
+    rng = np.random.default_rng(0)
+    probes = _draw_probes(ds, range(4), 8, rng)
+
+    def f32(a):
+        return jnp.asarray(a, jnp.float32)
+
+    args = (f32(ds.offdiag_vals), f32(ds.diags), f32(probes))
+    out = {}
+    for layout in ("dia", "stencil"):
+        lf = make_loss_fn(model, ds, 2.0 / 3.0, 3, layout=layout)
+        mat = f32(matrix_stack(ds, layout))
+        loss, grads = jax.value_and_grad(lf)(params, mat, *args)
+        flat, _ = jax.flatten_util.ravel_pytree(grads)
+        out[layout] = (float(loss), np.asarray(flat))
+    np.testing.assert_allclose(out["stencil"][0], out["dia"][0], rtol=1e-5)
+    np.testing.assert_allclose(out["stencil"][1], out["dia"][1], rtol=1e-4,
+                               atol=1e-7)
+
+
+def test_train_jacobi_stencil_layout_smoke():
+    """End-to-end training on loss_layout='stencil' (VERDICT r2 item 8)."""
+    cfg = TrainJacobiConfig(num_matrices=12, n_mesh=10, epochs=3,
+                            batch_size=4, n_train=8, n_val=2, n_test=2,
+                            m_probes=6, cache_dir=None, log_every=0,
+                            loss_layout="stencil")
+    _, history = train_jacobi(cfg)
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert np.isfinite(history["test_loss"])
