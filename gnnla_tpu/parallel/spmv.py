@@ -75,7 +75,7 @@ def make_sharded_matvec(part: PartitionedOperator, mesh: Mesh,
         else:
             x_full = jax.lax.all_gather(x_local, axis, tiled=True)
             prod = jnp.where(mask, vals * x_full[cols_g], 0.0)
-        y = segment_sum(prod, rows_l, rps, sorted=True)
+        y = segment_sum(prod, rows_l, rps, is_sorted=True)
         return y[None]
 
     spec = P(axis)
@@ -116,7 +116,7 @@ def make_sharded_jacobi(part: PartitionedOperator, mesh: Mesh,
             else:
                 x_full = jax.lax.all_gather(x_local, axis, tiled=True)
                 prod = jnp.where(mask, vals * x_full[cols_g], 0.0)
-            return segment_sum(prod, rows_l, rps, sorted=True)
+            return segment_sum(prod, rows_l, rps, is_sorted=True)
 
         def step(x, _):
             return x + w * (b - spmv(x)) / d_safe, None
@@ -168,7 +168,7 @@ def make_sharded_power_method(part: PartitionedOperator, mesh: Mesh,
             else:
                 x_full = jax.lax.all_gather(x_local, axis, tiled=True)
                 prod = jnp.where(mask, vals * x_full[cols_g], 0.0)
-            return segment_sum(prod, rows_l, rps, sorted=True)
+            return segment_sum(prod, rows_l, rps, is_sorted=True)
 
         def pnorm(v):
             return jnp.sqrt(jax.lax.psum(jnp.sum(v * v), axis))

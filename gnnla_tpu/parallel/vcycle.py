@@ -120,7 +120,7 @@ def make_sharded_vcycle(setup: TwoGridSetup, mesh: Mesh,
             else:
                 x_full = jax.lax.all_gather(x_local, axis, tiled=True)
                 prod = jnp.where(mask, vals * x_full[cols_g], 0.0)
-            return segment_sum(prod, rows_l, rps, sorted=True)
+            return segment_sum(prod, rows_l, rps, is_sorted=True)
 
         def smooth(x, n_iters):
             def step(x, _):
@@ -145,7 +145,7 @@ def make_sharded_vcycle(setup: TwoGridSetup, mesh: Mesh,
         # prolongation: shard-local rows of P against replicated xc
         x = x + segment_sum(
             jnp.where(p_mask, p_vals * xc[p_cols], 0.0), p_rows, rps,
-            sorted=True)
+            is_sorted=True)
 
         x = smooth(x, n_post)
         return x[None]

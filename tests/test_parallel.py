@@ -139,3 +139,105 @@ def test_sharded_vcycle_matches_single_device(A, mesh, rng):
         x_ref2 = vcycle(setup, b, x_ref2, n_pre=2, n_post=2, coarse_deg=3)
     np.testing.assert_allclose(unshard_vector(xs2, part),
                                np.asarray(x_ref2), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------- sharded stencil fast path
+def _stencil_fixture(n=32, periodic=False):
+    from gnnla_tpu.ops.pallas_stencil import stencil_taps
+    from gnnla_tpu.problems import laplacian_2d
+    from gnnla_tpu.problems.laplacian import laplacian_nd
+
+    if periodic:
+        A, _, _ = laplacian_nd([n, n], bcs=[1, 1])
+    else:
+        A = laplacian_2d(n)
+    shifts, planes = stencil_taps(A, (n, n))
+    return A, shifts, jnp.asarray(planes.reshape(-1, n, n), jnp.float32)
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_sharded_stencil_matvec_parity(mesh, periodic):
+    """Row-sharded stencil matvec (ring ppermute halos) must match the
+    single-device jnp-roll stencil AND the COO matvec bit-for-bit
+    semantics — for both Dirichlet (zero boundary taps) and periodic
+    (ring wrap carries the modular tap) operators."""
+    from gnnla_tpu.ops.pallas_stencil import stencil_matvec_jnp
+    from gnnla_tpu.parallel import (make_sharded_stencil_matvec,
+                                    shard_planes, shard_vec2d)
+
+    n = 32
+    A, shifts, planes = _stencil_fixture(n, periodic)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+
+    mv = make_sharded_stencil_matvec(shifts, (n, n), mesh)
+    y_sh = mv(shard_planes(planes, mesh), shard_vec2d(x, mesh))
+    y_ref = stencil_matvec_jnp(planes, shifts, x)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+    y_coo = A.matvec(x.ravel())
+    np.testing.assert_allclose(np.asarray(y_sh).ravel(), np.asarray(y_coo),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_stencil_matvec_probe_block(mesh):
+    """[H, W, m] probe blocks (the spectral-loss SpMM shape) shard the
+    same way."""
+    from gnnla_tpu.ops.pallas_stencil import stencil_matvec_jnp
+    from gnnla_tpu.parallel import (make_sharded_stencil_matvec,
+                                    shard_planes, shard_vec2d)
+
+    n, m = 16, 3
+    _, shifts, planes = _stencil_fixture(n)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((n, n, m)), jnp.float32)
+    mv = make_sharded_stencil_matvec(shifts, (n, n), mesh)
+    y_sh = mv(shard_planes(planes, mesh), shard_vec2d(x, mesh))
+    y_ref = stencil_matvec_jnp(planes, shifts, x)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_stencil_jacobi_parity(mesh):
+    """n sharded weighted-Jacobi sweeps == the single-device models.jacobi
+    sweeps on the same grid operator."""
+    from gnnla_tpu.parallel import (make_sharded_stencil_jacobi,
+                                    shard_planes, shard_vec2d)
+
+    n = 32
+    A, shifts, planes = _stencil_fixture(n)
+    rng = np.random.default_rng(2)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    x0 = jnp.zeros((n, n), jnp.float32)
+    diag2d = jnp.asarray(np.asarray(A.diagonal()).reshape(n, n))
+
+    jac = make_sharded_stencil_jacobi(shifts, (n, n), mesh)
+    x_sh = jac(shard_planes(planes, mesh), shard_vec2d(diag2d, mesh),
+               shard_vec2d(b, mesh), shard_vec2d(x0, mesh), 0.7, 5)
+    x_ref = jacobi(A, b.ravel(), x0.ravel(), omega=0.7, n_iters=5)
+    np.testing.assert_allclose(np.asarray(x_sh).ravel(),
+                               np.asarray(x_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_stencil_rejects_bad_grid(mesh):
+    from gnnla_tpu.parallel import make_sharded_stencil_matvec
+
+    _, shifts, _ = _stencil_fixture(16)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_stencil_matvec(shifts, (18, 18), mesh)
+
+
+def test_stencil_scaling_model():
+    """The analytic comm/local accounting: halo bytes shrink relative to
+    local work as the grid grows, so modeled efficiency must exceed the
+    80% north star at bench scale and degrade monotonically with ndev at
+    fixed size."""
+    from gnnla_tpu.parallel import stencil_scaling_model
+
+    m = stencil_scaling_model(2048, 2048, 9, 8)
+    assert m["efficiency_serial"] > 0.8
+    assert m["efficiency_overlapped"] >= m["efficiency_serial"]
+    effs = [stencil_scaling_model(512, 512, 9, d)["efficiency_serial"]
+            for d in (1, 2, 4, 8, 16)]
+    assert all(a >= b for a, b in zip(effs, effs[1:]))
+    assert m["comm_bytes_per_chip"] == 2 * 1 * 2048 * 4
