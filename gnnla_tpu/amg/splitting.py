@@ -89,63 +89,74 @@ def split_cljp(S, seed: int = 0) -> np.ndarray:
     H2: if i and j both strongly depend on a common new C point and j also
         influences i, j is less valuable to i: remove edge i->j, decrement w(j).
     Any undecided point whose remaining weight < 1 becomes F.
+
+    Fully vectorized over edge arrays: each round is a handful of O(nnz)
+    numpy passes plus one sparse P @ P^T for the common-new-C-dependency
+    test of H2 (P = live dependencies on this round's C points), so the
+    pure-Python fallback stays usable at million-row setup scale when the
+    C++ runtime (native/graphbuild.cpp) isn't built. Within a round the
+    removals are applied simultaneously from the round-start edge set —
+    the standard formulation; the sequential-update variant differs only
+    in tie-breaking and both yield valid splittings.
     """
-    S = _strength_csr(S).tolil()
+    S = _strength_csr(S).tocoo()
     n = S.shape[0]
     rng = np.random.default_rng(seed)
-    # weight = how many points i strongly influences (column count of S)
-    influence = np.zeros(n)
-    rows_sets = [set(row) for row in S.rows]  # S_i: strong deps of i
-    cols_sets = [set() for _ in range(n)]      # S^T_i
-    for i, deps in enumerate(rows_sets):
-        for j in deps:
-            influence[j] += 1
-            cols_sets[j].add(i)
-    w = influence + rng.random(n)
-    state = np.full(n, UNDECIDED, dtype=np.int64)
-    # isolated points: no strong connections either way -> F
-    for i in range(n):
-        if not rows_sets[i] and not cols_sets[i]:
-            state[i] = FINE
+    ei = S.row.astype(np.int64)   # edge i -> j: i strongly depends on j
+    ej = S.col.astype(np.int64)
+    live = np.ones(ei.size, dtype=bool)
 
-    def neighborhood(i):
-        return rows_sets[i] | cols_sets[i]
+    # weight = how many points depend on j (|S^T_j|) + tie-break noise
+    w = np.bincount(ej, minlength=n).astype(np.float64) + rng.random(n)
+    state = np.full(n, UNDECIDED, dtype=np.int64)
+    touched = np.zeros(n, dtype=bool)
+    touched[ei] = True
+    touched[ej] = True
+    state[~touched] = FINE        # isolated points
 
     while np.any(state == UNDECIDED):
-        undecided = np.flatnonzero(state == UNDECIDED)
-        # independent set: local maxima of w over remaining strength edges
-        new_c = []
-        for i in undecided:
-            nbrs = [j for j in neighborhood(i) if state[j] == UNDECIDED]
-            if all(w[i] > w[j] for j in nbrs):
-                new_c.append(i)
-        if not new_c:
-            state[undecided] = FINE
+        undec = state == UNDECIDED
+        # independent set: undecided local maxima of w over live edges
+        w_active = np.where(undec, w, 0.0)
+        neigh_max = np.zeros(n)
+        li, lj = ei[live], ej[live]
+        np.maximum.at(neigh_max, li, w_active[lj])
+        np.maximum.at(neigh_max, lj, w_active[li])
+        new_c = undec & (w_active > neigh_max)
+        if not np.any(new_c):
+            state[undec] = FINE
             break
-        for c in new_c:
-            state[c] = COARSE
-        for c in new_c:
-            # H1: remove edges c -> j (c no longer needs to interpolate)
-            for j in list(rows_sets[c]):
-                rows_sets[c].discard(j)
-                cols_sets[j].discard(c)
-                if state[j] == UNDECIDED:
-                    w[j] -= 1.0
-            # H2: for each i strongly depending on c, edges i -> j where j
-            # also strongly depends on c lose value
-            for i in list(cols_sets[c]):
-                rows_sets[i].discard(c)
-                cols_sets[c].discard(i)
-                for j in list(rows_sets[i]):
-                    if c in rows_sets[j]:  # j also strongly depends on c
-                        rows_sets[i].discard(j)
-                        cols_sets[j].discard(i)
-                        if state[j] == UNDECIDED:
-                            w[j] -= 1.0
+        state[new_c] = COARSE
+
+        # H1: edges c -> j with c newly C
+        h1 = live & new_c[ei]
+        # i -> c edges: removed, no weight change (c already decided)
+        ic = live & new_c[ej]
+        # H2: remaining live edges (i, j) where i and j share a new-C
+        # dependency. P[i, c] = live edge i -> c (c new); the shared-dep
+        # test is (P @ P^T)[i, j] > 0 evaluated only on candidate edges.
+        h2 = np.zeros_like(live)
+        cand = live & ~h1 & ~ic
+        if np.any(ic) and np.any(cand):
+            P = sp.csr_matrix(
+                (np.ones(int(ic.sum()), np.int8), (ei[ic], ej[ic])),
+                shape=(n, n))
+            M = (P @ P.T).tocsr()
+            if M.nnz:
+                idx = np.flatnonzero(cand)
+                common = np.asarray(
+                    M[ei[idx], ej[idx]]).ravel() > 0
+                h2[idx[common]] = True
+
+        # weight decrements: each removed h1/h2 edge * -> j costs j one
+        # dependent, only while j is still undecided
+        dec = ej[h1 | h2]
+        dec = dec[state[dec] == UNDECIDED]
+        np.add.at(w, dec, -1.0)
+        live &= ~(h1 | h2 | ic)
+
         # F assignment: weight fell below 1
-        for i in np.flatnonzero(state == UNDECIDED):
-            if w[i] < 1.0:
-                state[i] = FINE
+        state[(state == UNDECIDED) & (w < 1.0)] = FINE
     state[state == UNDECIDED] = FINE
     return (state == COARSE).astype(np.int64)
 
