@@ -1,26 +1,37 @@
-"""Benchmark: SpMV message-passing throughput (edges/s/chip).
+"""Benchmark: SpMV message-passing throughput + composed-solver timings.
 
-The BASELINE.json headline metric. The reference publishes no performance
-numbers (BASELINE.md), so `vs_baseline` is measured against the reference's
-*actual* execution model: single-process CPU sparse matvec (scipy CSR — the
-same native kernel class torch sparse uses on CPU, where the reference runs,
+The BASELINE.json headline metric is edges/s/chip on SpMV message passing.
+The reference publishes no performance numbers (BASELINE.md), so
+`vs_baseline` is measured against the reference's *actual* execution model:
+single-process CPU sparse matvec (scipy CSR — the same native kernel class
+torch sparse uses on CPU, where the reference runs,
 TrainableJacobiDiag/train.py:59-60) on this host, same matrix, same dtype.
 
-Workload: 2D 5-point FEM Laplacian (the reference's universal fixture,
-scaled up), x <- A_s @ x iterated under one `lax.scan` program, where
-A_s = A / ||A||_inf (same sparsity, same traffic; the scaling keeps the
-iterate bounded without spending extra memory passes on normalisation — a
-rescaled power iteration). Three device paths are measured — the
-gather/segment-sum COO path (general graphs), the DIA banded path
-(structured FEM), and the double-buffered Pallas DIA kernel — and the best
-is reported, with the per-path breakdown on stderr. Prints exactly one JSON
-line on stdout:
+Sections (each guarded — a failure degrades that stanza, never the run):
+  spmv     structured-grid paths on the 2D 5-point FEM Laplacian (the
+           reference's universal fixture, scaled up): COO gather/segment,
+           DIA shifts, Pallas DIA (f32 + bf16), VMEM-resident stencil.
+           Plus a measured HBM-bandwidth probe and a bytes-model roofline
+           fraction per streaming path.
+  general  the stream kernel (ops/pallas_stream.py) on an UNSTRUCTURED
+           k-NN-32 graph Laplacian — the torch_scatter execution model
+           this framework replaces (reference MatVecGNN.py:43-62) — with
+           an on-chip correctness assert in the same run.
+  solvers  composed two-grid cycles end-to-end: generic COO vcycle, DIA
+           vcycle, all-stencil StencilVCycle, GeometricVCycle, AMG-PCG
+           iterations to 1e-8 (reference driver loop VCycle.py:239-277),
+           and AMG setup time at >= 1M rows.
+  train    one trainable-Jacobi train step, steady state (reference
+           TrainableJacobiDiag/train.py:99-128).
+
+Prints exactly ONE JSON line on stdout:
   {"metric": "spmv_edges_per_s", "value": ..., "unit": "edges/s",
-   "vs_baseline": ...}
+   "vs_baseline": ..., "extra": {<per-section numbers>}}
+Section selection: GNNLA_BENCH_SECTIONS=spmv,general,solvers,train (env).
 
 Backend notes (axon/tunneled TPU), learned the hard way:
   * the first device->host transfer of a process can cost minutes — timing
-    uses block_until_ready only, never value fetches;
+    uses chained scans closed by a single scalar fetch;
   * a jitted function that closes over a large device array inlines it as a
     constant into the program shipped to the remote compiler, making
     compile time scale with matrix bytes (minutes at 84 MB). All operator
@@ -28,6 +39,7 @@ Backend notes (axon/tunneled TPU), learned the hard way:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -59,7 +71,6 @@ def _bench(apply_fn, op_tree, x0, nnz, n_iters: int,
     x = run(op_tree, x0)          # compile + warm up
     float(jnp.sum(x))             # sync
     t0 = time.perf_counter()
-    fetch_cost = 0.0
     float(jnp.sum(x))             # warm fetch cost, measured...
     fetch_cost = time.perf_counter() - t0
 
@@ -77,7 +88,7 @@ def bench_cpu_reference(A_scipy, n_iters: int) -> float:
     """Reference execution model: scipy CSR SpMV on host CPU, float32."""
     A = (A_scipy / 8.0).tocsr().astype(np.float32)
     x = np.ones((A.shape[0],), dtype=np.float32)
-    y = A @ x  # warm up
+    A @ x  # warm up
     t0 = time.perf_counter()
     for _ in range(n_iters):
         x = A @ x
@@ -107,39 +118,53 @@ def _pallas_health_probe():
     y.block_until_ready()
 
 
-def main():
-    n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    import os
+def log(msg):
+    print(msg, file=sys.stderr)
 
-    attempt = int(os.environ.get("GNNLA_BENCH_ATTEMPT", "0"))
-    try:
-        _pallas_health_probe()
-    except Exception as e:
-        if attempt < 5:
-            print(f"pallas compile-helper unhealthy "
-                  f"({type(e).__name__}); re-claiming terminal "
-                  f"(attempt {attempt + 1}/5)", file=sys.stderr)
-            env = dict(os.environ, GNNLA_BENCH_ATTEMPT=str(attempt + 1))
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
-        print("pallas compile helper still unhealthy after 5 claims; "
-              "continuing with XLA-only paths", file=sys.stderr)
+
+def measure_hbm_bw() -> float:
+    """Measured HBM stream bandwidth (bytes/s): y = a*x on 256 MB f32
+    arrays, chained. Read + write = 2x the array bytes per pass."""
+    import jax
+    import jax.numpy as jnp
+
+    nwords = 64 * 1024 * 1024          # 256 MB
+    x = jnp.ones((nwords,), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        def step(x, _):
+            return x * 1.000001, None
+        x, _ = jax.lax.scan(step, x, None, length=20)
+        return x
+
+    x = run(x)
+    float(jnp.sum(x))
+    t0 = time.perf_counter()
+    float(jnp.sum(x))
+    fetch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x = run(x)
+    x = run(x)
+    float(jnp.sum(x))
+    dt = time.perf_counter() - t0 - fetch
+    bw = 2 * 40 * nwords * 4 / max(dt, 1e-9)
+    if not (1e10 < bw < 1.2e12):
+        # > physical HBM (819 GB/s on v5e-class) or absurdly low: the
+        # tunnel's async timing lied — fail the probe, callers fall back
+        # to the physical constant rather than emit garbage rooflines
+        raise RuntimeError(f"HBM probe implausible: {bw / 1e9:.0f} GB/s")
+    return bw
+
+
+# ----------------------------------------------------------------- sections
+
+def bench_spmv(n_grid: int, n_iters: int, extra: dict):
+    """Structured-grid SpMV paths; returns (best_edges_per_s, cpu_ref)."""
     import jax.numpy as jnp
 
     from gnnla_tpu.ops.dia import to_dia
     from gnnla_tpu.problems import laplacian_2d
-
-    # pay the per-process first device->host transfer cost (variable,
-    # seconds to minutes on the tunneled backend) in a thread overlapped
-    # with the host-side matrix construction below
-    import threading
-    t_start = time.perf_counter()
-
-    def _warmup():
-        float(jnp.sum(jnp.ones((8,), jnp.float32)))
-
-    warmup = threading.Thread(target=_warmup)
-    warmup.start()
 
     # drop the kron-artifact explicit zeros: edges/s counts real nonzeros.
     # scale by 1/||A||_inf = 1/8 so the scanned iterate stays bounded.
@@ -147,24 +172,42 @@ def main():
     op = op_raw.scale(1.0 / 8.0)
     dia = to_dia(op)
     x0 = jnp.ones((op.n_rows,), jnp.float32)
-    warmup.join()
-    print(f"setup + d2h warmup: {time.perf_counter() - t_start:.1f}s",
-          file=sys.stderr)
+    n = op.n_rows
+
+    try:
+        bw = measure_hbm_bw()
+        extra["hbm_bw_gbs"] = bw / 1e9
+        log(f"hbm stream bw:   {bw / 1e9:.0f} GB/s (measured)")
+    except Exception as e:
+        bw = 819e9  # v5e physical HBM bandwidth — roofline fallback
+        extra["hbm_bw_gbs"] = bw / 1e9
+        log(f"hbm probe failed ({type(e).__name__}: {e}); "
+            f"using physical 819 GB/s for rooflines")
+
+    def roofline(eps, bytes_per_mv):
+        if not bw:
+            return None
+        return (eps / dia.nnz) * bytes_per_mv / bw
 
     dia_eps = _bench(lambda d, x: d.matvec(x), dia, x0, dia.nnz, n_iters,
                      n_chain=5)
-    print(f"dia/shift:       {dia_eps:.3e} edges/s", file=sys.stderr)
+    extra["dia_shift_edges_per_s"] = dia_eps
+    log(f"dia/shift:       {dia_eps:.3e} edges/s")
 
+    k = len(dia.offsets)
+    pallas_eps = 0.0
     try:
         from gnnla_tpu.ops.pallas_spmv import make_dia_spmv_padded
         pmv = make_dia_spmv_padded(dia)
         pallas_eps = _bench(pmv.apply, pmv.op_args, pmv.to_padded(x0),
                             pmv.nnz, n_iters, n_chain=10)
-        print(f"dia/pallas:      {pallas_eps:.3e} edges/s", file=sys.stderr)
+        frac = roofline(pallas_eps, (k * 4 + 8) * n)
+        extra["dia_pallas_edges_per_s"] = pallas_eps
+        extra["dia_pallas_roofline_frac"] = frac
+        log(f"dia/pallas:      {pallas_eps:.3e} edges/s"
+            + (f" ({frac:.0%} of HBM roofline)" if frac else ""))
     except Exception as e:  # pallas path optional
-        print(f"dia/pallas unavailable: {type(e).__name__}: {e}",
-              file=sys.stderr)
-        pallas_eps = 0.0
+        log(f"dia/pallas unavailable: {type(e).__name__}: {e}")
 
     # bf16 diagonal storage halves the dominant HBM stream; counts toward
     # the headline only when bit-exact on this matrix (the Laplacian's
@@ -179,14 +222,15 @@ def main():
             pallas16_eps = _bench(pmv16.apply, pmv16.op_args,
                                   pmv16.to_padded(x0), pmv16.nnz, n_iters,
                                   n_chain=10)
-            print(f"dia/pallas-bf16: {pallas16_eps:.3e} edges/s (exact)",
-                  file=sys.stderr)
+            frac = roofline(pallas16_eps, (k * 2 + 8) * n)
+            extra["dia_pallas_bf16_edges_per_s"] = pallas16_eps
+            extra["dia_pallas_bf16_roofline_frac"] = frac
+            log(f"dia/pallas-bf16: {pallas16_eps:.3e} edges/s (exact"
+                + (f", {frac:.0%} of HBM roofline)" if frac else ")"))
         else:
-            print("dia/pallas-bf16: not exact on this matrix; excluded",
-                  file=sys.stderr)
+            log("dia/pallas-bf16: not exact on this matrix; excluded")
     except Exception as e:
-        print(f"dia/pallas-bf16 unavailable: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        log(f"dia/pallas-bf16 unavailable: {type(e).__name__}: {e}")
 
     # VMEM-resident roll-based stencil kernel: the iterate AND the tap
     # planes live in VMEM across all n_iters steps — zero HBM traffic per
@@ -195,7 +239,6 @@ def main():
     stencil_eps = 0.0
     try:
         from gnnla_tpu.ops.pallas_stencil import make_stencil_spmv
-        tapf32 = None
         probe32 = np.asarray(dia.diags, np.float32)
         bf16_exact = bool(np.all(
             np.asarray(jnp.asarray(probe32, jnp.bfloat16), np.float32)
@@ -224,29 +267,419 @@ def main():
                 f"stencil run too short to time (dt={dt:.4f}s <= "
                 f"2*fetch={2 * fetch:.4f}s); raise n_grid/n_iters")
         stencil_eps = st.nnz * n_iters * n_chain / dt
-        print(f"stencil-resident ({jnp.dtype(tap_dtype).name}"
-              f"{', exact' if bf16_exact else ''}): {stencil_eps:.3e} "
-              f"edges/s", file=sys.stderr)
+        extra["stencil_resident_edges_per_s"] = stencil_eps
+        log(f"stencil-resident ({jnp.dtype(tap_dtype).name}"
+            f"{', exact' if bf16_exact else ''}): {stencil_eps:.3e} "
+            f"edges/s")
     except Exception as e:  # stencil path optional (needs grid structure)
-        print(f"stencil-resident unavailable: {type(e).__name__}: {e}",
-              file=sys.stderr)
+        log(f"stencil-resident unavailable: {type(e).__name__}: {e}")
 
     # COO path is ~2 orders slower on TPU (scatter-bound): fewer iterations
     # keep its share of the wall-time bounded without hurting signal.
     coo_eps = _bench(lambda o, x: o.matvec(x), op, x0, op.nnz,
                      max(5, n_iters // 100), n_chain=1)
-    print(f"coo/segment-sum: {coo_eps:.3e} edges/s", file=sys.stderr)
+    extra["coo_segment_edges_per_s"] = coo_eps
+    log(f"coo/segment-sum: {coo_eps:.3e} edges/s")
 
-    tpu_edges_s = max(coo_eps, dia_eps, pallas_eps, pallas16_eps,
-                      stencil_eps)
+    best = max(coo_eps, dia_eps, pallas_eps, pallas16_eps, stencil_eps)
     cpu_edges_s = bench_cpu_reference(op_raw.to_scipy(), n_iters=10)
-    print(f"cpu reference:   {cpu_edges_s:.3e} edges/s", file=sys.stderr)
+    extra["cpu_reference_edges_per_s"] = cpu_edges_s
+    log(f"cpu reference:   {cpu_edges_s:.3e} edges/s")
+    return best, cpu_edges_s
+
+
+def knn_laplacian(n, k=32, seed=7):
+    """k-NN graph Laplacian on scattered 2D points — the sparsity of
+    meshfree/RBF-FD discretizations: unstructured, non-banded."""
+    import scipy.sparse as sp
+    from scipy.spatial import cKDTree
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2))
+    tree = cKDTree(pts)
+    d, idx = tree.query(pts, k=k + 1, workers=-1)
+    rows = np.repeat(np.arange(n), k)
+    cols = idx[:, 1:].reshape(-1)
+    w = np.exp(-(d[:, 1:] ** 2) / (d[:, 1:].mean() ** 2)).reshape(-1)
+    A = sp.coo_matrix((w.astype(np.float32), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    A = A + A.T
+    lap = (sp.diags(np.asarray(A.sum(axis=1)).ravel()) - A).tocsr()
+    lap.sort_indices()
+    return lap.astype(np.float32)
+
+
+def bench_general(n: int, extra: dict):
+    """Unstructured-graph SpMV through the stream kernel, with an on-chip
+    correctness assert in the same run. This is the workload class of the
+    reference's one hot kernel: torch_scatter.scatter over arbitrary edge
+    lists (/root/reference/pytorch/MatVecGNN.py:43-62)."""
+    import jax.numpy as jnp
+
+    from gnnla_tpu.ops.pallas_stream import StreamSpMV, rcm_csr
+
+    t0 = time.perf_counter()
+    lap = knn_laplacian(n)
+    lap = (lap / (abs(lap).sum(axis=1).max() * 1.01)).tocsr()
+    lap.sort_indices()
+    A, _ = rcm_csr(lap)
+    log(f"general fixture: k-NN-32 Laplacian n={n} nnz={A.nnz} "
+        f"({time.perf_counter() - t0:.1f}s incl. RCM)")
+
+    t0 = time.perf_counter()
+    mv = StreamSpMV(A, with_transpose=False)
+    f = mv.fmt
+    log(f"stream build:    {time.perf_counter() - t0:.1f}s "
+        f"units={f.n_units} w_sc={f.w_sc} kb={f.kb} "
+        f"slot_waste={f.n_units * 8 * 128 / A.nnz:.2f}x")
+    extra["general_graph_nnz"] = int(A.nnz)
+    extra["general_graph_n"] = int(n)
+
+    # on-chip correctness vs scipy (the assert the VERDICT requires in the
+    # same run as the timing)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(mv.matvec(jnp.asarray(x)))
+    expect = A @ x
+    relerr = float(np.abs(y - expect).max() / np.abs(expect).max())
+    extra["general_graph_relerr"] = relerr
+    log(f"on-chip rel err: {relerr:.2e}")
+    assert relerr < 1e-4, f"stream kernel MISMATCH: rel err {relerr}"
+
+    n_it = 100
+    eps = _bench(mv.apply, mv.op_args, mv.to_padded(jnp.ones(n)), mv.nnz,
+                 n_it, n_chain=5)
+    extra["general_graph_edges_per_s"] = eps
+    log(f"stream spmv:     {eps:.3e} edges/s")
+
+    # reference execution model on the same matrix
+    xx = x.copy()
+    A @ xx
+    t0 = time.perf_counter()
+    for _ in range(20):
+        xx = A @ xx
+    cpu = A.nnz * 20 / (time.perf_counter() - t0)
+    extra["general_graph_cpu_edges_per_s"] = cpu
+    extra["general_graph_vs_cpu"] = eps / cpu
+    log(f"cpu scipy:       {cpu:.3e} edges/s (stream = {eps / cpu:.0f}x)")
+
+    # BSR (dense 128^2 blocks, MXU-eligible SpMM) — the other
+    # general-graph layout, recorded so its keep-or-fold decision is
+    # evidence-based. Its per-edge traffic is slot_waste x the stream
+    # kernel's (dense block padding), so the fixture is capped: at 1M+
+    # rows the padded blocks are tens of GB and shipping them over the
+    # tunneled backend would dominate the bench for a path that already
+    # loses to the stream kernel at every size.
+    try:
+        from gnnla_tpu.ops.bsr import to_bsr
+        from gnnla_tpu.ops.sparse import SparseOperator
+
+        nb_cap = 1 << 17
+        if n > nb_cap:
+            Ab, _ = rcm_csr(knn_laplacian(nb_cap))
+            Ab = (Ab / (abs(Ab).sum(axis=1).max() * 1.01)).tocsr()
+            Ab.sort_indices()
+            log(f"bsr fixture capped at n={nb_cap} (same family)")
+        else:
+            Ab = A
+        nb_rows = Ab.shape[0]
+        t0 = time.perf_counter()
+        bsr = to_bsr(SparseOperator.from_scipy(Ab), block_size=128)
+        nb = bsr.blocks.shape[0]
+        waste = nb * 128 * 128 / Ab.nnz
+        log(f"bsr build:       {time.perf_counter() - t0:.1f}s "
+            f"nb={nb} slot_waste={waste:.1f}x")
+        xb = rng.standard_normal(nb_rows).astype(np.float32)
+        yb = np.asarray(bsr.matvec(jnp.asarray(xb)))
+        eb = Ab @ xb
+        relerr_b = float(np.abs(yb - eb).max() / np.abs(eb).max())
+        assert relerr_b < 1e-4, f"bsr MISMATCH: rel err {relerr_b}"
+        eps_b = _bench(lambda o, xx: o.matvec(xx), bsr,
+                       jnp.ones(nb_rows, jnp.float32), Ab.nnz, 50,
+                       n_chain=2)
+        extra["general_graph_bsr_edges_per_s"] = eps_b
+        extra["general_graph_bsr_n"] = int(nb_rows)
+        extra["general_graph_bsr_slot_waste"] = waste
+        log(f"bsr spmv:        {eps_b:.3e} edges/s "
+            f"(stream = {eps / max(eps_b, 1e-30):.1f}x faster)")
+    except Exception as e:
+        log(f"bsr unavailable: {type(e).__name__}: {e}")
+
+
+def _time_cycles(solve_fn, setup, b, x0, n_cycles, n_chain=2):
+    """Seconds per cycle for a scanned multi-cycle solve (chained)."""
+    import jax
+    import jax.numpy as jnp
+
+    run = jax.jit(lambda s, b, x: solve_fn(s, b, x))
+    x = run(setup, b, x0)
+    float(jnp.sum(x))
+    t0 = time.perf_counter()
+    float(jnp.sum(x))
+    fetch = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n_chain):
+        x = run(setup, b, x)
+    s = float(jnp.sum(x))
+    dt = time.perf_counter() - t0 - fetch
+    assert np.isfinite(s), "cycle iterate diverged"
+    if dt <= 2 * fetch:
+        # below the fetch-overhead noise floor (tiny smoke sizes): a
+        # negative/garbage per-cycle time must not enter the artifact
+        raise RuntimeError(f"cycle run too short to time (dt={dt:.4f}s "
+                           f"<= 2*fetch={2 * fetch:.4f}s); raise n_grid")
+    return dt / (n_cycles * n_chain)
+
+
+def bench_solvers(n_grid: int, extra: dict):
+    """Composed end-to-end solver timings on the n_grid^2 FD Laplacian."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnnla_tpu.models import (make_geometric_vcycle, make_stencil_vcycle,
+                                  setup_twogrid, setup_with_dia, solve)
+    from gnnla_tpu.models.krylov import amg_pcg
+    from gnnla_tpu.problems import laplacian_2d
+
+    n = n_grid * n_grid
+    A = laplacian_2d(n_grid).eliminate_zeros()
+    log(f"solver fixture:  {n_grid}x{n_grid} FD Laplacian ({n} rows)")
+
+    t0 = time.perf_counter()
+    setup = setup_twogrid(A, theta=0.25, splitting="cljp", seed=0)
+    dt = time.perf_counter() - t0
+    extra["amg_setup_seconds"] = dt
+    extra["amg_setup_rows"] = n
+    log(f"amg setup (cljp, {n} rows): {dt:.1f}s "
+        f"(coarse {setup.Ac.n_rows} rows)")
+
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    x0 = jnp.zeros(n, jnp.float32)
+    n_cyc = 5
+
+    t = _time_cycles(
+        lambda s, bb, xx: solve(s, bb, xx, n_cycles=n_cyc),
+        setup, b, x0, n_cyc)
+    extra["vcycle_coo_ms"] = t * 1e3
+    log(f"vcycle (COO):    {t * 1e3:.2f} ms/cycle")
+
+    try:
+        setup_d = setup_with_dia(setup)
+        t = _time_cycles(
+            lambda s, bb, xx: solve(s, bb, xx, n_cycles=n_cyc),
+            setup_d, b, x0, n_cyc)
+        extra["vcycle_dia_ms"] = t * 1e3
+        log(f"vcycle (DIA):    {t * 1e3:.2f} ms/cycle")
+    except Exception as e:
+        log(f"vcycle (DIA) unavailable: {type(e).__name__}: {e}")
+        setup_d = setup
+
+    try:
+        sv = make_stencil_vcycle(setup, (n_grid, n_grid))
+
+        def run_sv(args, bb, xx):
+            def step(x, _):
+                return sv.cycle(args, bb, x), None
+            x, _ = jax.lax.scan(step, xx, None, length=n_cyc)
+            return x
+
+        t = _time_cycles(run_sv, sv.args, b, x0, n_cyc)
+        extra["vcycle_stencil_ms"] = t * 1e3
+        log(f"StencilVCycle:   {t * 1e3:.2f} ms/cycle")
+    except Exception as e:
+        log(f"StencilVCycle unavailable: {type(e).__name__}: {e}")
+
+    try:
+        gv = make_geometric_vcycle(A, (n_grid, n_grid))
+
+        def run_gv(args, bb, xx):
+            def step(x, _):
+                return gv.cycle(args, bb, x), None
+            x, _ = jax.lax.scan(step, xx, None, length=n_cyc)
+            return x
+
+        t = _time_cycles(run_gv, gv.args, b, x0, n_cyc)
+        extra["vcycle_geometric_ms"] = t * 1e3
+        log(f"GeometricVCycle: {t * 1e3:.2f} ms/cycle")
+    except Exception as e:
+        log(f"GeometricVCycle unavailable: {type(e).__name__}: {e}")
+
+    # multilevel-AMG-preconditioned CG to 1e-8 relative (recurrence)
+    # residual (flip_sign: the FD Laplacian here is negative definite,
+    # reference laplacianfun.m). Multilevel, not two-grid: the two-grid
+    # preconditioner's Chebyshev "coarse solve" stalls at bench scale.
+    try:
+        from gnnla_tpu.models import mg_pcg, setup_multigrid
+
+        n_it = 30
+        t0 = time.perf_counter()
+        setup_m = setup_multigrid(A, theta=0.25, seed=0)
+        log(f"multigrid setup: {time.perf_counter() - t0:.1f}s "
+            f"({setup_m.n_levels} levels)")
+
+        @jax.jit
+        def run_pcg(s, bb):
+            return mg_pcg(s, bb, jnp.zeros_like(bb), n_iters=n_it,
+                          flip_sign=True)
+
+        x, hist = run_pcg(setup_m, b)
+        hist = np.asarray(hist)
+        t0 = time.perf_counter()
+        x, _ = run_pcg(setup_m, b)
+        float(jnp.sum(x))
+        dt = time.perf_counter() - t0
+        bnorm = float(jnp.linalg.norm(b))
+        conv = np.flatnonzero(hist / bnorm < 1e-8)
+        iters = int(conv[0]) + 1 if conv.size else None
+        extra["pcg_ms_per_iter"] = dt / n_it * 1e3
+        extra["pcg_iters_to_1e8"] = iters
+        if iters:
+            extra["pcg_seconds_to_1e8"] = dt / n_it * iters
+            log(f"AMG-PCG:         {dt / n_it * 1e3:.2f} ms/iter, "
+                f"{iters} iters to 1e-8 "
+                f"({dt / n_it * iters * 1e3:.1f} ms)")
+        else:
+            log(f"AMG-PCG:         {dt / n_it * 1e3:.2f} ms/iter, "
+                f"no 1e-8 within {n_it} iters (last "
+                f"{hist[-1] / bnorm:.2e})")
+    except Exception as e:
+        log(f"AMG-PCG unavailable: {type(e).__name__}: {e}")
+
+
+def bench_train(extra: dict):
+    """Steady-state trainable-Jacobi train step (batch 32, 38x38 FEM) on
+    both gather-free loss layouts: DIA diagonals and grid-roll stencil
+    planes (TrainJacobiConfig.loss_layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gnnla_tpu.models.trainable_jacobi import TrainableJacobiMLP
+    from gnnla_tpu.training.datasets import small_band_dataset
+    from gnnla_tpu.training.train_jacobi import (make_loss_fn, matrix_stack,
+                                                 _draw_probes)
+    import optax
+
+    t0 = time.perf_counter()
+    ds = small_band_dataset(32, n=38, seed=1, cache_dir=None)
+    log(f"train fixture:   32 small-band matrices "
+        f"({time.perf_counter() - t0:.1f}s)")
+    model = TrainableJacobiMLP(widths=(50, 20, 1))
+    params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 5)))
+    tx = optax.adam(1e-2)
+    rng = np.random.default_rng(0)
+    probes = _draw_probes(ds, range(ds.n_graphs), 20, rng)
+    base_args = (jnp.asarray(ds.offdiag_vals, jnp.float32),
+                 jnp.asarray(ds.diags, jnp.float32),
+                 jnp.asarray(probes, jnp.float32))
+
+    losses = {}
+    for layout in ("dia", "stencil"):
+        try:
+            loss_fn = make_loss_fn(model, ds, 2.0 / 3.0, 3, layout=layout)
+            mats = jnp.asarray(matrix_stack(ds, layout), jnp.float32)
+        except Exception as e:
+            log(f"train/{layout} unavailable: {type(e).__name__}: {e}")
+            continue
+
+        @jax.jit
+        def step(params, opt_state, mm, ov, d, p, loss_fn=loss_fn):
+            loss, grads = jax.value_and_grad(loss_fn)(params, mm, ov, d, p)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params, opt_state = params0, tx.init(params0)
+        params, opt_state, loss = step(params, opt_state, mats, *base_args)
+        float(loss)
+        n_steps = 20
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            params, opt_state, loss = step(params, opt_state, mats,
+                                           *base_args)
+        fl = float(loss)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(fl)
+        losses[layout] = fl
+        extra[f"train_step_{layout}_ms"] = dt / n_steps * 1e3
+        log(f"train step/{layout:7s}: {dt / n_steps * 1e3:.2f} ms "
+            f"(batch 32, loss {fl:.4f})")
+    # identical numerics across layouts after the same 21 steps
+    if len(losses) == 2:
+        assert abs(losses["dia"] - losses["stencil"]) <= \
+            1e-3 * max(abs(losses["dia"]), 1e-9), losses
+    extra["train_step_ms"] = min(
+        (extra.get(f"train_step_{la}_ms", float("inf"))
+         for la in ("dia", "stencil")), default=None)
+
+
+def main():
+    n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    sections = os.environ.get("GNNLA_BENCH_SECTIONS",
+                              "spmv,general,solvers,train").split(",")
+
+    attempt = int(os.environ.get("GNNLA_BENCH_ATTEMPT", "0"))
+    try:
+        _pallas_health_probe()
+    except Exception as e:
+        if attempt < 5:
+            log(f"pallas compile-helper unhealthy "
+                f"({type(e).__name__}); re-claiming terminal "
+                f"(attempt {attempt + 1}/5)")
+            env = dict(os.environ, GNNLA_BENCH_ATTEMPT=str(attempt + 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        log("pallas compile helper still unhealthy after 5 claims; "
+            "continuing with XLA-only paths")
+    import jax.numpy as jnp
+
+    # pay the per-process first device->host transfer cost (variable,
+    # seconds to minutes on the tunneled backend) in a thread overlapped
+    # with host-side setup
+    import threading
+    t_start = time.perf_counter()
+
+    def _warmup():
+        float(jnp.sum(jnp.ones((8,), jnp.float32)))
+
+    warmup = threading.Thread(target=_warmup)
+    warmup.start()
+    warmup.join()
+    log(f"d2h warmup: {time.perf_counter() - t_start:.1f}s")
+
+    extra = {}
+    best, cpu = 0.0, None
+    if "spmv" in sections:
+        try:
+            best, cpu = bench_spmv(n_grid, n_iters, extra)
+        except Exception as e:
+            log(f"[spmv] FAILED: {type(e).__name__}: {e}")
+    if "general" in sections:
+        try:
+            bench_general(min(1 << 20, max(1 << 14, n_grid * n_grid // 4)),
+                          extra)
+        except Exception as e:
+            log(f"[general] FAILED: {type(e).__name__}: {e}")
+    if "solvers" in sections:
+        try:
+            bench_solvers(max(64, n_grid // 2), extra)
+        except Exception as e:
+            log(f"[solvers] FAILED: {type(e).__name__}: {e}")
+    if "train" in sections:
+        try:
+            bench_train(extra)
+        except Exception as e:
+            log(f"[train] FAILED: {type(e).__name__}: {e}")
+
+    if cpu is None:
+        cpu = extra.get("general_graph_cpu_edges_per_s", 1.0)
+    if best == 0.0:
+        best = extra.get("general_graph_edges_per_s", 0.0)
 
     print(json.dumps({
         "metric": "spmv_edges_per_s",
-        "value": tpu_edges_s,
+        "value": best,
         "unit": "edges/s",
-        "vs_baseline": tpu_edges_s / cpu_edges_s,
+        "vs_baseline": best / cpu,
+        "extra": extra,
     }))
 
 
