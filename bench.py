@@ -498,23 +498,27 @@ def bench_solvers(n_grid: int, extra: dict):
             x, _ = jax.lax.scan(step, xx, None, length=n_cyc)
             return x
 
-        t = _time_cycles(run_gv, gv.args, b, x0, n_cyc)
+        # the all-Pallas geometric cycle is ~100x faster than the rest:
+        # chain enough repeats to clear the fetch-overhead noise floor
+        t = _time_cycles(run_gv, gv.args, b, x0, n_cyc, n_chain=40)
         extra["vcycle_geometric_ms"] = t * 1e3
         log(f"GeometricVCycle: {t * 1e3:.2f} ms/cycle")
     except Exception as e:
         log(f"GeometricVCycle unavailable: {type(e).__name__}: {e}")
 
-    # multilevel-AMG-preconditioned CG to 1e-8 relative (recurrence)
+    # smoothed-aggregation multilevel PCG to 1e-8 relative (recurrence)
     # residual (flip_sign: the FD Laplacian here is negative definite,
-    # reference laplacianfun.m). Multilevel, not two-grid: the two-grid
-    # preconditioner's Chebyshev "coarse solve" stalls at bench scale.
+    # reference laplacianfun.m). SA, not the classical splitting+direct-
+    # interp hierarchy: measured V-cycle convergence factors are
+    # size-independent (~0.35) for SA vs degrading towards 1 for the
+    # classical pipeline at bench scale (tests/test_aggregation.py).
     try:
-        from gnnla_tpu.models import mg_pcg, setup_multigrid
+        from gnnla_tpu.models import mg_pcg, setup_sa_multigrid
 
         n_it = 30
         t0 = time.perf_counter()
-        setup_m = setup_multigrid(A, theta=0.25, seed=0)
-        log(f"multigrid setup: {time.perf_counter() - t0:.1f}s "
+        setup_m = setup_sa_multigrid(A, seed=0)
+        log(f"SA multigrid setup: {time.perf_counter() - t0:.1f}s "
             f"({setup_m.n_levels} levels)")
 
         @jax.jit

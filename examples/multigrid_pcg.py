@@ -30,6 +30,14 @@ def main(n=32, seed=24601):
     print(f"AMG-PCG 15 iters:   |r| = "
           f"{float(jnp.linalg.norm(residual(A, b, x_pcg))):.3e}")
 
+    # smoothed-aggregation hierarchy: the size-independent production path
+    from gnnla_tpu.models import mg_pcg, setup_sa_multigrid
+    sa = setup_sa_multigrid(A)
+    print(f"SA hierarchy sizes: {[op.n_rows for op in sa.As]}")
+    x_sa, _ = mg_pcg(sa, b, x0, n_iters=15, flip_sign=True)
+    print(f"SA mg-PCG 15 iters: |r| = "
+          f"{float(jnp.linalg.norm(residual(A, b, x_sa))):.3e}")
+
 
 if __name__ == "__main__":
     main()

@@ -13,7 +13,7 @@ from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
     setup_with_dia, setup_with_stream, vcycle, solve, StencilVCycle,
     make_stencil_vcycle)
 from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
-    multigrid_cycle, multigrid_solve)
+    setup_sa_multigrid, multigrid_cycle, multigrid_solve)
 from gnnla_tpu.models.krylov import cg, amg_pcg, mg_pcg
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "StencilVCycle", "make_stencil_vcycle",
     "GeometricVCycle", "make_geometric_vcycle",
     "cg", "amg_pcg", "mg_pcg",
-    "MultigridSetup", "setup_multigrid", "multigrid_cycle",
+    "MultigridSetup", "setup_multigrid", "setup_sa_multigrid",
+    "multigrid_cycle",
     "multigrid_solve",
 ]

@@ -107,6 +107,72 @@ def setup_multigrid(A: SparseOperator, *, theta: float = 0.25,
                           coarse_c=coarse_c, coarse_d=coarse_d)
 
 
+def setup_sa_multigrid(A: SparseOperator, *, theta: float = 0.08,
+                       seed: int = 0, min_coarse: int = 16,
+                       max_levels: int = 12,
+                       diag: Optional[jax.Array] = None) -> MultigridSetup:
+    """Smoothed-aggregation AMG setup (Vanek/Mandel/Brezina) — the
+    scalable hierarchy.
+
+    The classical splitting+direct-interpolation hierarchy
+    (`setup_multigrid`) mirrors the reference's demo pipeline but has the
+    known multilevel quality collapse: independent-set coarsening strands
+    F-points without strong C-neighbors, and the measured cycle
+    convergence factor degrades with size (~0.86 at 64^2 -> ~0.95+ at
+    512^2 on the 5-point Laplacian). SA coarsening replaces C/F splitting
+    with aggregation and smooths the piecewise-constant tentative
+    prolongator one damped-Jacobi step, giving the O(1) (size-independent)
+    convergence factor production AMG needs. The strength measure is the
+    reference's own SA SOC (SOCSAGNN.py:49-71), thresholded per level at
+    theta * 0.5^level (Vanek's schedule).
+
+    Returns the same `MultigridSetup` pytree; `multigrid_cycle`,
+    `multigrid_solve` and `mg_pcg` run on it unchanged.
+    """
+    import numpy as np
+
+    from gnnla_tpu.amg.aggregation import (aggregate, sa_strength,
+                                           smoothed_prolongator,
+                                           tentative_prolongator)
+
+    As, Ps, diags = [], [], []
+    current = A
+    d = diag
+    dtype = A.vals.dtype
+    for level in range(max_levels - 1):
+        n = current.n_rows
+        if n <= min_coarse:
+            break
+        Ah = current.to_scipy().tocsr()
+        S = sa_strength(Ah, theta * (0.5 ** level))
+        agg = aggregate(S, seed=seed)
+        n_agg = int(agg.max()) + 1
+        if n_agg >= 0.95 * n or n_agg < 1:
+            break
+        P_hat = tentative_prolongator(agg)
+        P = smoothed_prolongator(Ah, S, P_hat, seed=seed)
+        Ac = (P.T @ Ah @ P).tocsr()
+        Ac.sum_duplicates()
+        Pc = P.tocoo()
+        As.append(current)
+        Ps.append(SparseOperator.from_coo(Pc.row, Pc.col, Pc.data,
+                                          P.shape, dtype=dtype))
+        diags.append(current.diagonal() if d is None else jnp.ravel(d))
+        d = None
+        Acc = Ac.tocoo()
+        current = SparseOperator.from_coo(Acc.row, Acc.col, Acc.data,
+                                          Ac.shape, dtype=dtype)
+    As.append(current)
+    diags.append(current.diagonal())
+
+    evals = np.linalg.eigvals(np.asarray(current.to_scipy().todense()))
+    lmin, lmax = float(np.min(evals.real)), float(np.max(evals.real))
+    spread = max(lmax - lmin, 1e-12)
+    return MultigridSetup(As=tuple(As), Ps=tuple(Ps), diags=tuple(diags),
+                          coarse_c=0.5 * spread,
+                          coarse_d=0.5 * (lmax + lmin))
+
+
 def multigrid_cycle(setup: MultigridSetup, b, x, *, n_pre: int = 3,
                     n_post: int = 3, omega: float = 0.7,
                     coarse_deg: int = 8, coarse_c: Optional[float] = None,

@@ -37,6 +37,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.cljp_split.restype = None
     lib.cljp_split.argtypes = [ctypes.c_int64, i64p, i64p, ctypes.c_uint64,
                                i64p]
+    if hasattr(lib, "vanek_aggregate"):
+        lib.vanek_aggregate.restype = ctypes.c_int64
+        lib.vanek_aggregate.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
     _lib = lib
     return lib
 
@@ -104,3 +107,21 @@ def cljp_split(S_csr, seed: int = 0) -> np.ndarray:
     lib.cljp_split(n, _i64p(indptr), _i64p(indices),
                    ctypes.c_uint64(seed), _i64p(out))
     return out
+
+
+def vanek_aggregate(G_csr) -> Optional[np.ndarray]:
+    """Sequential Vanek aggregation over a symmetrized strength graph
+    (native only — returns None when the library isn't built or is an
+    older build without the symbol; callers fall back to the numpy
+    sequential implementation in amg/aggregation.py)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "vanek_aggregate"):
+        return None
+    import scipy.sparse as sp
+    G = sp.csr_matrix(G_csr)
+    indptr = np.ascontiguousarray(G.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(G.indices, dtype=np.int64)
+    agg = np.full(G.shape[0], -1, dtype=np.int64)
+    lib.vanek_aggregate(G.shape[0], _i64p(indptr), _i64p(indices),
+                        _i64p(agg))
+    return agg

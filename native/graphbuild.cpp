@@ -153,4 +153,64 @@ void cljp_split(int64_t n, const int64_t* indptr, const int64_t* indices,
   for (int64_t i = 0; i < n; ++i) out[i] = (state[i] == COARSE) ? 1 : 0;
 }
 
+// Vanek standard aggregation (Vanek/Mandel/Brezina 1996) over a
+// SYMMETRIZED strength graph in CSR form (no self loops). Scan-order
+// greedy — the packing density of the sequential passes is what gives
+// smoothed aggregation its textbook convergence factor (random-MIS
+// variants leave a thick attach fringe and measurably worse cycles).
+//   pass 1: node with fully unaggregated neighborhood seeds an aggregate
+//           of itself + its entire neighborhood;
+//   pass 2: leftovers join the adjacent aggregate they have the most
+//           connections to (ties -> lower aggregate id), based on the
+//           pass-1 state;
+//   pass 3: remaining nodes seed aggregates from what is left.
+// out[i] = aggregate id; returns the number of aggregates.
+int64_t vanek_aggregate(int64_t n, const int64_t* indptr,
+                        const int64_t* indices, int64_t* agg) {
+  std::fill(agg, agg + n, (int64_t)-1);
+  int64_t na = 0;
+  // pass 1
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1 || indptr[i + 1] == indptr[i]) continue;
+    bool free_nbhd = true;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (agg[indices[k]] != -1) { free_nbhd = false; break; }
+    if (!free_nbhd) continue;
+    agg[i] = na;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      agg[indices[k]] = na;
+    ++na;
+  }
+  // pass 2 (reads the pass-1 snapshot, writes agg2)
+  std::vector<int64_t> agg2(agg, agg + n);
+  std::vector<int64_t> nbr_aggs;
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    nbr_aggs.clear();
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const int64_t a = agg[indices[k]];
+      if (a >= 0) nbr_aggs.push_back(a);
+    }
+    if (nbr_aggs.empty()) continue;
+    std::sort(nbr_aggs.begin(), nbr_aggs.end());
+    int64_t best = nbr_aggs[0], best_cnt = 1, cur = nbr_aggs[0], cnt = 1;
+    for (size_t k = 1; k < nbr_aggs.size(); ++k) {
+      if (nbr_aggs[k] == cur) ++cnt;
+      else { cur = nbr_aggs[k]; cnt = 1; }
+      if (cnt > best_cnt) { best = cur; best_cnt = cnt; }
+    }
+    agg2[i] = best;
+  }
+  std::copy(agg2.begin(), agg2.end(), agg);
+  // pass 3
+  for (int64_t i = 0; i < n; ++i) {
+    if (agg[i] != -1) continue;
+    agg[i] = na;
+    for (int64_t k = indptr[i]; k < indptr[i + 1]; ++k)
+      if (agg[indices[k]] == -1) agg[indices[k]] = na;
+    ++na;
+  }
+  return na;
+}
+
 }  // extern "C"
