@@ -328,7 +328,10 @@ def bench_general(n: int, extra: dict):
     t0 = time.perf_counter()
     mv = StreamSpMV(A, with_transpose=False)
     f = mv.fmt
-    log(f"stream build:    {time.perf_counter() - t0:.1f}s "
+    build_s = time.perf_counter() - t0
+    extra["general_graph_build_seconds"] = build_s
+    extra["general_graph_slot_waste"] = f.n_units * 8 * 128 / A.nnz
+    log(f"stream build:    {build_s:.1f}s "
         f"units={f.n_units} w_sc={f.w_sc} kb={f.kb} "
         f"slot_waste={f.n_units * 8 * 128 / A.nnz:.2f}x")
     extra["general_graph_nnz"] = int(A.nnz)

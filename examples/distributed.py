@@ -47,6 +47,38 @@ def main(n=16):
     print(f"sharded power method: {float(lam):.6f} "
           f"vs single-device {float(lam_ref):.6f}")
 
+    # --- sharded stream kernel: the general-graph fast path ---------------
+    # (per-shard Pallas packs, ring ppermute halos bounded by the RCM
+    # bandwidth; interpret mode off-TPU, Mosaic on hardware)
+    from scipy import sparse as sp
+
+    from gnnla_tpu.parallel import build_sharded_stream, stream_scaling_model
+
+    ns = 1024 * 2 * n_dev
+    rng2 = np.random.default_rng(1)
+    idx = np.arange(ns)
+    r_, c_ = [], []
+    for off in (-2, -1, 0, 1, 2):
+        r_.append(idx)
+        c_.append(np.clip(idx + off, 0, ns - 1))
+    As = sp.csr_matrix((rng2.standard_normal(5 * ns).astype(np.float32),
+                        (np.concatenate(r_), np.concatenate(c_))),
+                       shape=(ns, ns))
+    As.sum_duplicates()
+    p = rng2.permutation(ns)
+    As = As[p][:, p].tocsr()
+    As.sort_indices()
+    on_tpu = jax.devices()[0].platform != "cpu"
+    kern = build_sharded_stream(As, mesh, "rows", interpret=not on_tpu)
+    xg = rng2.standard_normal(ns).astype(np.float32)
+    y = kern.matvec(xg)
+    err = np.linalg.norm(y - As @ xg) / np.linalg.norm(As @ xg)
+    m = stream_scaling_model(kern)
+    print(f"sharded stream (general graph, halo {kern.h_tiles} tiles) "
+          f"rel err {err:.3e}; modeled scaling "
+          f"{m['efficiency_serial']:.1%} serial / "
+          f"{m['efficiency_overlapped']:.1%} overlapped")
+
 
 if __name__ == "__main__":
     main()

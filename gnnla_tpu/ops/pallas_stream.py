@@ -96,6 +96,7 @@ class StreamFormat:
     w_sc: int               # window size in superchunks
     kb: int                 # chunk-class bits (rounds = 8 >> kb)
     nb: int                 # units per grid step
+    n_cols: int = -1        # -1 = square (n); else rectangular x length
 
     @property
     def n_units(self) -> int:
@@ -109,8 +110,15 @@ class StreamFormat:
     def padded_len(self) -> int:
         return self.n_tiles * TILE
 
+    @property
+    def padded_x_len(self) -> int:
+        """Length of the padded input vector in elements (col space)."""
+        nc = self.n if self.n_cols < 0 else self.n_cols
+        return -(-nc // TILE) * TILE
 
-def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None
+
+def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None, *,
+                 n_cols: Optional[int] = None, min_w_sc: int = 0
                  ) -> StreamFormat:
     """Pack a CSR matrix (indices sorted in-row) into the stream layout.
 
@@ -121,10 +129,21 @@ def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None
     kb: chunk-class bits (0..3). Groups share a 2^(10-kb)-column class;
     the kernel runs 8>>kb gather-select rounds. None = pick the kb that
     minimizes estimated slots x ops.
+
+    n_cols / min_w_sc: rectangular support for the sharded path
+    (parallel/stream.py) — a row-block shard of a global operator reads x
+    from its halo-extended column window, so the local operand is
+    [n_rows, n_cols] with n_cols != n_rows; min_w_sc forces the window
+    width up so every shard's pack shares one static kernel shape.
     """
     n = A_csr.shape[0]
-    if A_csr.shape[0] != A_csr.shape[1]:
-        raise ValueError("stream SpMV requires a square operator")
+    if n_cols is None:
+        if A_csr.shape[0] != A_csr.shape[1]:
+            raise ValueError("stream SpMV requires a square operator "
+                             "(pass n_cols for the rectangular shard path)")
+        n_cols = n
+    elif A_csr.shape[1] != n_cols:
+        raise ValueError(f"n_cols={n_cols} != A.shape[1]={A_csr.shape[1]}")
     indptr = A_csr.indptr.astype(np.int64)
     cols = A_csr.indices.astype(np.int64)
     vals = A_csr.data.astype(np.float32)
@@ -149,24 +168,34 @@ def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None
     max_c[has] = red_max[has]
     start_sc = min_c // TILE
     w_sc = int(((max_c - start_sc * TILE) // TILE + 1).max())
-    if w_sc > L // TILE:
+    w_sc = max(w_sc, min_w_sc)
+    lx_tiles = -(-n_cols // TILE)
+    if w_sc > lx_tiles:
         raise ValueError(
             f"column window ({w_sc} superchunks) exceeds the padded vector "
-            f"({L // TILE}); matrix too small or ordering too diffuse for "
+            f"({lx_tiles}); matrix too small or ordering too diffuse for "
             "the stream kernel — use the COO path")
-    start_sc = np.minimum(start_sc, L // TILE - w_sc)
+    start_sc = np.minimum(start_sc, lx_tiles - w_sc)
 
     local = cols - start_sc[tile] * TILE          # in [0, w_sc*1024)
     rg = (rows % TILE) // 128
 
     if kb is None:
-        # pick kb minimizing slots(kb) * (7 * rounds(kb) + 45)
+        # pick kb minimizing slots(kb) * (7 * rounds(kb) + 45). Counting by
+        # bincount over the dense (trg, class) key space — it is small
+        # (n/128 row-groups x (w_sc << k) classes), and O(nnz) beats the
+        # former np.unique (a full sort per k: ~60% of setup at 37M nnz).
         best = (None, None)
         trg = (tile * 8 + rg)
+        n_trg = int(trg.max()) + 1 if nnz else 1
         for k in range(4):
+            space = n_trg * (w_sc << k)
             key = trg * (w_sc << k) + (local >> (10 - k))
-            _, cnt = np.unique(key, return_counts=True)
-            slots = (np.ceil(cnt / 128) * 128).sum()
+            if space <= 8 * nnz:
+                cnt = np.bincount(key, minlength=space)
+            else:  # degenerate (huge w_sc, tiny nnz): sort-based fallback
+                _, cnt = np.unique(key, return_counts=True)
+            slots = int(((cnt + 127) // 128).sum()) * 128
             cost = slots * (7 * (8 >> k) + 45)
             if best[0] is None or cost < best[0]:
                 best = (cost, k)
@@ -184,7 +213,9 @@ def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None
     # --- group partitioning within gk = (tile, rg, class, region) ---------
     gk = ((tile * 8 + rg) * (w_sc << kb) + cls_full) * (region.max() + 1) \
         + region
-    order = np.lexsort((o, rows, gk))
+    # stable single-key sort == lexsort((o, rows, gk)): within one gk the
+    # CSR (row, col) order is already rows-ascending, o-ascending
+    order = np.argsort(gk, kind="stable")
     grun, gstarts = _runs(gk[order])
     seq = np.arange(nnz, dtype=np.int64) - gstarts[grun]
     group_in_gk = seq // 128
@@ -304,15 +335,59 @@ def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None
                         tile_of_unit=u_tile.astype(np.int32),
                         tile_wstart=start_sc.astype(np.int32),
                         n=n, nnz=nnz,
-                        n_tiles=n_tiles, w_sc=w_sc, kb=kb, nb=nb)
+                        n_tiles=n_tiles, w_sc=w_sc, kb=kb, nb=nb,
+                        n_cols=n_cols)
+
+
+def pad_steps(fmt: StreamFormat, n_steps_target: int) -> StreamFormat:
+    """Append no-op grid steps so fmt.n_steps == n_steps_target.
+
+    Pad units carry all-zero words (every lane invalid: deposits nothing,
+    one-hot rows route zeros), the last tile's parity (so phase 1 reads an
+    already-DMA'd window buffer at sc=0), start/complete flags 0 (no DMA,
+    no flush — the completing flush of the real last step persists in its
+    out block). Used by the sharded path to force one static kernel shape
+    across row-block shards whose natural step counts differ.
+    """
+    extra_steps = n_steps_target - fmt.n_steps
+    if extra_steps < 0:
+        raise ValueError(f"target {n_steps_target} < n_steps {fmt.n_steps}")
+    if extra_steps == 0:
+        return fmt
+    nb, nsub = fmt.nb, NSUB
+    extra_units = extra_steps * nb
+    parity = (fmt.n_tiles - 1) % 2
+    meta = np.concatenate(
+        [fmt.meta.reshape(-1),
+         np.full(extra_units, parity << 15, np.int32)]
+    ).reshape(n_steps_target, 1, nb)
+    gmeta = np.concatenate(
+        [fmt.gmeta.reshape(-1, 128),
+         np.full((extra_units * nsub // 128, 128), parity << 7, np.int32)]
+    ).reshape(n_steps_target, nb * nsub // 128, 128)
+    sm_extra = np.zeros((extra_steps, 1, 8), np.int32)
+    sm_extra[:, :, 3] = -1
+    step_meta = np.concatenate([fmt.step_meta, sm_extra])
+    out_idx = np.concatenate(
+        [fmt.out_idx, np.full(extra_steps, fmt.n_tiles - 1, np.int32)])
+    word = np.concatenate(
+        [fmt.word, np.zeros((extra_units, nsub, 128), np.int32)])
+    vals = np.concatenate(
+        [fmt.vals, np.zeros((extra_units, nsub, 128), np.float32)])
+    tile_of_unit = np.concatenate(
+        [fmt.tile_of_unit,
+         np.full(extra_units, fmt.n_tiles - 1, np.int32)])
+    return dataclasses.replace(
+        fmt, meta=meta, gmeta=gmeta, step_meta=step_meta, out_idx=out_idx,
+        word=word, vals=vals, tile_of_unit=tile_of_unit)
 
 
 def emulate_stream(fmt: StreamFormat, x: np.ndarray) -> np.ndarray:
     """Numpy reference of the kernel semantics (CI validation of the
-    builder without TPU hardware)."""
-    L = fmt.padded_len
-    xp = np.zeros(L, np.float32)
-    xp[: fmt.n] = x.astype(np.float32)
+    builder without TPU hardware). `x` has n_cols entries (== n for the
+    square case)."""
+    xp = np.zeros(fmt.padded_x_len, np.float32)
+    xp[: x.size] = x.astype(np.float32)
     x3 = xp.reshape(-1, TILE)
     y = np.zeros((fmt.n_tiles, 8, 128), np.float32)
     rounds = 8 >> fmt.kb

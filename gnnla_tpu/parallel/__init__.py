@@ -10,6 +10,9 @@ from gnnla_tpu.parallel.spmv import (
 from gnnla_tpu.parallel.stencil import (
     make_sharded_stencil_matvec, make_sharded_stencil_jacobi,
     shard_planes, shard_vec2d, stencil_scaling_model)
+from gnnla_tpu.parallel.stream import (ShardedStreamSpMV,
+                                       build_sharded_stream,
+                                       stream_scaling_model)
 
 __all__ = ["PartitionedOperator", "partition_rows", "shard_vector",
            "unshard_vector", "make_sharded_matvec", "make_sharded_jacobi",
@@ -17,4 +20,6 @@ __all__ = ["PartitionedOperator", "partition_rows", "shard_vector",
            "initialize_distributed", "global_row_mesh", "grid_mesh",
            "make_sharded_vcycle", "partition_rows_rect",
            "make_sharded_stencil_matvec", "make_sharded_stencil_jacobi",
-           "shard_planes", "shard_vec2d", "stencil_scaling_model"]
+           "shard_planes", "shard_vec2d", "stencil_scaling_model",
+           "ShardedStreamSpMV", "build_sharded_stream",
+           "stream_scaling_model"]
