@@ -2,7 +2,8 @@ from gnnla_tpu.parallel.partition import (
     PartitionedOperator, partition_rows, shard_vector, unshard_vector)
 from gnnla_tpu.parallel.distributed import (initialize_distributed,
                                              global_row_mesh, grid_mesh)
-from gnnla_tpu.parallel.vcycle import (make_sharded_vcycle,
+from gnnla_tpu.parallel.vcycle import (make_sharded_stream_vcycle,
+                                       make_sharded_vcycle,
                                        partition_rows_rect)
 from gnnla_tpu.parallel.spmv import (
     make_sharded_matvec, make_sharded_jacobi, make_sharded_norm,
@@ -18,7 +19,8 @@ __all__ = ["PartitionedOperator", "partition_rows", "shard_vector",
            "unshard_vector", "make_sharded_matvec", "make_sharded_jacobi",
            "make_sharded_norm", "make_sharded_power_method", "device_put_sharded",
            "initialize_distributed", "global_row_mesh", "grid_mesh",
-           "make_sharded_vcycle", "partition_rows_rect",
+           "make_sharded_vcycle", "make_sharded_stream_vcycle",
+           "partition_rows_rect",
            "make_sharded_stencil_matvec", "make_sharded_stencil_jacobi",
            "shard_planes", "shard_vec2d", "stencil_scaling_model",
            "ShardedStreamSpMV", "build_sharded_stream",

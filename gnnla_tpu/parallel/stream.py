@@ -98,6 +98,9 @@ class ShardedStreamSpMV:
     nb: int
     perm: Optional[np.ndarray]
     apply: callable = None
+    local_apply: callable = None  # per-shard body for composition inside
+    #                               a caller's shard_map (see vcycle)
+    pack_specs: Tuple = ()
 
     @property
     def padded_len(self) -> int:
@@ -113,12 +116,16 @@ class ShardedStreamSpMV:
         return jax.device_put(
             x3, NamedSharding(self.mesh, P(self.axis, None, None)))
 
-    def matvec(self, x):
-        y3 = self.apply(self.packs, self.shard(self.to_padded(x)))
+    def from_padded(self, y3) -> np.ndarray:
+        """Padded superchunk layout -> caller-order [n] host vector."""
         yk = np.asarray(y3).reshape(-1)[: self.n]
         if self.perm is not None:
             return yk[np.argsort(self.perm)]
         return yk
+
+    def matvec(self, x):
+        return self.from_padded(
+            self.apply(self.packs, self.shard(self.to_padded(x))))
 
 
 def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
@@ -197,7 +204,12 @@ def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
 
     call = _make_call(fmts[0], interpret=interpret)
 
-    def body(oi, sm, me, gm, wo, va, x_l):
+    def local_apply(oi, sm, me, gm, wo, va, x_l):
+        """Per-shard stream SpMV on a LOCAL [t_loc, 8, 128] block (pack
+        operands already stripped of the shard axis). Callable only inside
+        a shard_map body over `mesh`/`axis` — it issues the halo ppermutes
+        itself. Exposed so larger compositions (parallel/vcycle.py's
+        stream-backed cycle) can embed the fast SpMV beside collectives."""
         if h > 0:
             top = jax.lax.ppermute(
                 x_l[-h:], axis, [(i, (i + 1) % ndev) for i in range(ndev)])
@@ -206,7 +218,10 @@ def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
             x_ext = jnp.concatenate([top, x_l, bot], axis=0)
         else:
             x_ext = x_l
-        return call(oi[0], sm[0], me[0], gm[0], wo[0], va[0], x_ext)
+        return call(oi, sm, me, gm, wo, va, x_ext)
+
+    def body(oi, sm, me, gm, wo, va, x_l):
+        return local_apply(oi[0], sm[0], me[0], gm[0], wo[0], va[0], x_l)
 
     vspec = P(axis, None, None)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
@@ -219,7 +234,8 @@ def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
     return ShardedStreamSpMV(
         packs=packs, mesh=mesh, axis=axis, n=n, nnz=nnz,
         t_global=t_global, h_tiles=h, w_sc=w_max, n_steps=s_max, nb=nb,
-        perm=perm, apply=apply)
+        perm=perm, apply=apply, local_apply=local_apply,
+        pack_specs=pack_specs)
 
 
 def stream_scaling_model(kern: ShardedStreamSpMV, *,

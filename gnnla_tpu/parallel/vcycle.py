@@ -173,3 +173,124 @@ def make_sharded_vcycle(setup: TwoGridSetup, mesh: Mesh,
                     d_blocks)
 
     return cycle, part
+
+
+def make_sharded_stream_vcycle(setup: TwoGridSetup, mesh: Mesh,
+                               axis: str = "rows", *, n_pre: int = 3,
+                               n_post: int = 3, omega: float = 0.7,
+                               coarse_deg: int = 4, coarse_c: float = -3.4,
+                               coarse_d: float = -4.0, nb: int = 32,
+                               kb=None, interpret: bool = False):
+    """Distributed two-grid V-cycle with the fine level on the sharded
+    stream kernel (parallel/stream.py) instead of the COO gather path.
+
+    The whole fine-level problem is permuted into the kernel's RCM order
+    at setup — A becomes per-shard Pallas stream packs with ring-ppermute
+    halos, P's rows are permuted to match, the smoother diagonal rides in
+    padded superchunk layout — so smoothing and the residual (the
+    dominant fine-level work of a cycle) run at the stream kernel's rate
+    while restriction/coarse-solve/prolongation keep `make_sharded_vcycle`'s
+    psum/replicated structure. Numerics match the single-device `vcycle`
+    on the same setup (fp32 reassociation only).
+
+    Returns (cycle, kern): cycle(b3, x3) advances one V-cycle on padded
+    superchunk [t, 8, 128] vectors sharded over `axis` (build them with
+    kern.shard(kern.to_padded(v)) from caller-order vectors; map results
+    back with kern.from_padded). No reference counterpart — the reference
+    is single-device (SURVEY.md §2.5); this is the distributed-throughput
+    twin of `models.vcycle.setup_with_stream`.
+    """
+    from gnnla_tpu.parallel.stream import build_sharded_stream
+
+    if not isinstance(setup.A, SparseOperator):
+        raise ValueError("make_sharded_stream_vcycle needs a COO "
+                         "TwoGridSetup (build with setup_twogrid)")
+    kern = build_sharded_stream(setup.A, mesh, axis, nb=nb, kb=kb,
+                                interpret=interpret)
+    ndev = mesh.shape[axis]
+    n, N = kern.n, kern.padded_len
+    R = N // ndev
+    t_loc = R // 1024
+    nc = setup.P.shape[1]
+    Ac = setup.Ac
+
+    import scipy.sparse as sp
+
+    # P with rows in kernel (RCM) order, padded rows empty
+    Pk = setup.P.to_scipy().tocsr()
+    if kern.perm is not None:
+        Pk = Pk[kern.perm]
+    Pk = sp.vstack([Pk, sp.csr_matrix((N - n, nc), dtype=Pk.dtype)],
+                   format="csr")
+    part_p = partition_rows_rect(SparseOperator.from_scipy(Pk), ndev, R)
+
+    # smoother diagonal in kernel order; padded rows carry the padding
+    # identity's unit diagonal (their b is 0, so x stays 0 through sweeps)
+    d_host = np.asarray(setup.diag, np.float64)
+    if kern.perm is not None:
+        d_host = d_host[kern.perm]
+    d_pad = np.concatenate([d_host, np.ones(N - n)])
+    d_pad[d_pad == 0] = 1.0
+    d3 = kern.shard(jnp.asarray(d_pad, jnp.float32).reshape(-1, 8, 128))
+
+    local_apply = kern.local_apply
+
+    def body(oi, sm, me, gm, wo, va, p_rows, p_cols, p_vals, p_mask,
+             ac_rows, ac_cols, ac_vals, ac_ptr, b3, x3, d3):
+        pack = (oi[0], sm[0], me[0], gm[0], wo[0], va[0])
+        p_rows, p_cols = p_rows[0], p_cols[0]
+        p_vals, p_mask = p_vals[0], p_mask[0]
+
+        def spmv(x3):
+            return local_apply(*pack, x3)
+
+        w_over_d = omega / d3
+
+        def smooth(x3, n_iters):
+            def step(x3, _):
+                return x3 + w_over_d * (b3 - spmv(x3)), None
+            x3, _ = jax.lax.scan(step, x3, None, length=n_iters)
+            return x3
+
+        x3 = smooth(x3, n_pre)
+
+        # restriction: rc = P^T r, summed across shards, then replicated
+        r = (b3 - spmv(x3)).reshape(R)
+        rc_part = segment_sum(jnp.where(p_mask, p_vals * r[p_rows], 0.0),
+                              p_cols, nc)
+        rc = jax.lax.psum(rc_part, axis)
+
+        ac = SparseOperator(rows=ac_rows, cols=ac_cols, vals=ac_vals,
+                            row_ptr=ac_ptr, shape=(nc, nc))
+        xc = chebyshev(ac, rc, jnp.zeros_like(rc), c=coarse_c, d=coarse_d,
+                       deg=coarse_deg)
+
+        # prolongation: shard-local rows of P against replicated xc
+        xf = x3.reshape(R) + segment_sum(
+            jnp.where(p_mask, p_vals * xc[p_cols], 0.0), p_rows, R,
+            is_sorted=True)
+        x3 = xf.reshape(t_loc, 8, 128)
+
+        return smooth(x3, n_post)
+
+    spec = P(axis)
+    repl = P(None)
+    vspec = P(axis, None, None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=kern.pack_specs + (spec,) * 4 + (repl,) * 4
+        + (vspec, vspec, vspec),
+        out_specs=vspec, check_vma=False)
+
+    @jax.jit
+    def jrun(packs, p_args, ac_args, b3, x3, d3):
+        return fn(*packs, *p_args, *ac_args, b3, x3, d3)
+
+    p_args = (part_p.rows_local, part_p.cols_global, part_p.vals,
+              part_p.mask)
+    ac_args = (Ac.rows, Ac.cols, Ac.vals, Ac.row_ptr)
+
+    def cycle(b3, x3):
+        return jrun(kern.packs, p_args, ac_args, b3, x3, d3)
+
+    return cycle, kern

@@ -95,6 +95,58 @@ def test_sharded_stream_rejects_wide_bandwidth(mesh):
         build_sharded_stream(A, mesh, "rows", interpret=True)
 
 
+def test_sharded_stream_vcycle_parity(mesh):
+    """Distributed two-grid cycle with stream-kernel smoothing/residual ==
+    single-device `vcycle` on the same setup (the fast-path twin of
+    make_sharded_vcycle; reference composition VCycle.py:175-237)."""
+    from gnnla_tpu.models import residual, setup_twogrid, vcycle
+    from gnnla_tpu.parallel import make_sharded_stream_vcycle
+    from gnnla_tpu.problems import laplacian_2d
+
+    n_grid = 96  # 9216 rows -> 16 tiles -> 2 tiles/shard on 8 devices
+    A = laplacian_2d(n_grid).eliminate_zeros()
+    n = A.n_rows
+    # scramble the row order so the RCM reorder inside the kernel build
+    # does real work (the caller-order contract must hold regardless)
+    rng = np.random.default_rng(0)
+    p = rng.permutation(n)
+    Ah = A.to_scipy().tocsr()[p][:, p].tocsr()
+    Ah.sort_indices()
+    from gnnla_tpu.ops.sparse import SparseOperator
+    A = SparseOperator.from_scipy(Ah)
+
+    setup = setup_twogrid(A, theta=0.25, splitting="pmis", seed=0)
+    b = rng.standard_normal(n).astype(np.float32)
+    x0 = rng.standard_normal(n).astype(np.float32)
+
+    cycle, kern = make_sharded_stream_vcycle(setup, mesh, "rows",
+                                             interpret=True)
+    assert kern.h_tiles >= 1  # scrambled Laplacian: real halo traffic
+
+    import jax.numpy as jnp
+    x3 = kern.shard(kern.to_padded(x0))
+    b3 = kern.shard(kern.to_padded(b))
+    for _ in range(2):
+        x3 = cycle(b3, x3)
+    x_sh = kern.from_padded(x3)
+
+    x_ref = jnp.asarray(x0)
+    for _ in range(2):
+        x_ref = vcycle(setup, jnp.asarray(b), x_ref)
+    x_ref = np.asarray(x_ref)
+
+    np.testing.assert_allclose(x_sh, x_ref, rtol=2e-4,
+                               atol=2e-4 * np.abs(x_ref).max())
+    # and the cycle reduces the residual (parity, not convergence rate,
+    # is the contract here — the PMIS setup on a scrambled Laplacian is a
+    # deliberately unflattering fixture)
+    r0 = np.linalg.norm(np.asarray(residual(A, jnp.asarray(b),
+                                            jnp.asarray(x0))))
+    r2 = np.linalg.norm(np.asarray(residual(A, jnp.asarray(b),
+                                            jnp.asarray(x_sh))))
+    assert r2 < 0.9 * r0, (r0, r2)
+
+
 def test_stream_scaling_model_fields(mesh):
     n = 9000
     A = _banded_unstructured(n, 9, seed=5)
