@@ -365,6 +365,53 @@ def bench_general(n: int, extra: dict):
     extra["general_graph_vs_cpu"] = eps / cpu
     log(f"cpu scipy:       {cpu:.3e} edges/s (stream = {eps / cpu:.0f}x)")
 
+    # multi-RHS SpMM (opt-in: GNNLA_BENCH_SECTIONS must include "spmm").
+    # One pass over the edge packs computes all n_rhs columns — the
+    # spectral-loss T @ Y workload (reference loss.py:105-128). Excluded
+    # from the default run because the M=8 Mosaic compile is ~8 min
+    # one-time; measured on v5e (262k-row k-NN-16): 2.6e10 edge-cols/s,
+    # 1.5x aggregate over per-column vector applies.
+    if "spmm" in os.environ.get("GNNLA_BENCH_SECTIONS", ""):
+        try:
+            from gnnla_tpu.ops.pallas_stream import (StreamSpMM,
+                                                     mrhs_out_to_in)
+            import jax
+
+            M = int(os.environ.get("GNNLA_SPMM_RHS", "8"))
+            mmk = StreamSpMM(A, M, with_transpose=False, fmt=mv.fmt)
+            Xs = rng.standard_normal((n, M)).astype(np.float32)
+            Ym = np.asarray(mmk.matmat(Xs))
+            em = A @ Xs
+            relerr_m = float(np.abs(Ym - em).max() / np.abs(em).max())
+            assert relerr_m < 1e-4, f"spmm MISMATCH: rel err {relerr_m}"
+            n_it2 = 50
+
+            @jax.jit
+            def run_mm(op_args, x4):
+                def step(x4, _):
+                    return mrhs_out_to_in(mmk.apply(op_args, x4)), None
+                x4, _ = jax.lax.scan(step, x4, None, length=n_it2)
+                return x4
+
+            x4 = run_mm(mmk.op_args, mmk.to_padded(Xs))
+            float(jnp.sum(x4))
+            t0 = time.perf_counter()
+            float(jnp.sum(x4))
+            fetch2 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(3):
+                x4 = run_mm(mmk.op_args, x4)
+            sm = float(jnp.sum(x4))
+            dtm = time.perf_counter() - t0 - fetch2
+            assert np.isfinite(sm)
+            ecs = A.nnz * M * n_it2 * 3 / dtm
+            extra["general_graph_spmm_edge_cols_per_s"] = ecs
+            extra["general_graph_spmm_n_rhs"] = M
+            log(f"stream spmm M={M}: {ecs:.3e} edge-cols/s "
+                f"({ecs / M / eps:.2f}x per column vs spmv)")
+        except Exception as e:
+            log(f"stream spmm unavailable: {type(e).__name__}: {e}")
+
     # BSR (dense 128^2 blocks, MXU-eligible SpMM) — the other
     # general-graph layout, recorded so its keep-or-fold decision is
     # evidence-based. Its per-edge traffic is slot_waste x the stream

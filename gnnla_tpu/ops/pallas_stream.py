@@ -613,6 +613,213 @@ def _make_call(fmt: StreamFormat, interpret: bool = False):
         interpret=interpret)
 
 
+def _make_call_mrhs(fmt: StreamFormat, n_rhs: int, interpret: bool = False):
+    """Multi-RHS twin of `_make_call`: one pass over the edge packs
+    computes y_m = A x_m for all `n_rhs` columns.
+
+    The pack metadata (8 HBM bytes per edge slot — the dominant stream)
+    is read ONCE and its decode (word unpack, scan masks, one-hot routing
+    rows) is shared across columns; only the per-column gather / segmented
+    scan / deposit replicate. This is the SpMM the training hot path needs
+    (Gelfand spectral loss iterates T @ Y over m probe columns,
+    reference TrainableJacobiDiag/loss.py:105-128) and the multi-column
+    MatVecGNN case (reference MatVecGNN.py:128-129,155-161).
+
+    Layouts: input x4 is [Lx/1024, n_rhs*8, 128] — column m occupies
+    sublane block [8m, 8m+8) of each superchunk (stack per-column padded
+    [t, 8, 128] vectors on axis 1). Output is [n_tiles, 8, 128*n_rhs] —
+    column m in lane block [128m, 128(m+1)) (the deposit routes all
+    columns with ONE wide one-hot MXU matmul per 128-group chunk, which
+    lane-concatenates the columns). `mrhs_out_to_in` relayouts output to
+    input form for chained applications.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = int(n_rhs)
+    nb, w_sc, kb = fmt.nb, fmt.w_sc, fmt.kb
+    rounds = 8 >> kb
+    n_steps, n_tiles = fmt.n_steps, fmt.n_tiles
+
+    B = nb * NSUB  # group rows per step
+
+    def kernel(outidx_ref, step_ref, meta_ref, gmeta_ref, word_ref,
+               val_ref, x_hbm, y_ref, win0, win1, yacc0, yacc1, chrows,
+               sem0, sem1):
+        u = pl.program_id(0)
+        bufs = (win0, win1)
+        yaccs = (yacc0, yacc1)
+        sems = (sem0, sem1)
+
+        def dma(slot, ws):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(ws, w_sc)], bufs[slot], sems[slot])
+
+        @pl.when(u == 0)
+        def _():
+            dma(0, step_ref[0, 0, 2]).start()
+
+        # phase 0: wait for the starting tile's window, zero its accumulator
+        @pl.when(step_ref[0, 0, 0] == 1)
+        def _():
+            for parity in (0, 1):
+                @pl.when(step_ref[0, 0, 1] == parity)
+                def _(parity=parity):
+                    dma(parity, step_ref[0, 0, 2]).wait()
+                    yaccs[parity][...] = jnp.zeros_like(yaccs[parity])
+
+        # phase 1: per-unit chunk prep, per column (window sublane block)
+        for j in range(nb):
+            um = meta_ref[0, 0, j]
+            sc = jnp.bitwise_and(um, 0x7FFF)
+            even = jnp.right_shift(um, 15) == 0
+            SCM = jnp.where(even, win0[sc], win1[sc])     # [M*8, 128]
+            cix = jnp.right_shift(word_ref[j], 26)
+            for m in range(M):
+                SC = SCM[8 * m: 8 * m + 8]
+                base = m * rounds * B
+                if rounds == 1:
+                    chrows[base + 8 * j: base + 8 * j + 8] = \
+                        jnp.take_along_axis(SC, cix, axis=0)
+                else:
+                    for r in range(rounds):
+                        chrows[base + r * B + 8 * j:
+                               base + r * B + 8 * j + 8] = \
+                            jnp.take_along_axis(SC, cix * rounds + r,
+                                                axis=0)
+
+        # phase 2: shared metadata decode; per-column gather + scan + deposit
+        word = word_ref[...].reshape(B, 128)
+        vals = val_ref[...].reshape(B, 128)
+        laneB = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        lo = jnp.bitwise_and(word, 127)
+        rowl1 = jnp.bitwise_and(jnp.right_shift(word, 18), 255)
+        dep1 = jnp.bitwise_and(jnp.right_shift(word, 10), 255)
+        if rounds > 1:
+            mfield = jnp.bitwise_and(jnp.right_shift(word, 7), 7)
+            cls = jnp.right_shift(word, 26)
+        scan_ops = []
+        for sh in (1, 2, 4):
+            sidx = jnp.maximum(laneB - sh, 0)
+            same = jnp.logical_and(
+                rowl1 == jnp.take_along_axis(rowl1, sidx, axis=1),
+                laneB >= sh)
+            scan_ops.append((sidx, same))
+        valid = dep1 >= 1
+        dep_idx = jnp.where(valid, dep1 - 1, 0)
+
+        daccs = []
+        for m in range(M):
+            base = m * rounds * B
+            if rounds == 1:
+                g = jnp.take_along_axis(chrows[base: base + B], lo, axis=1)
+            else:
+                g = jnp.zeros((B, 128), jnp.float32)
+                for r in range(rounds):
+                    gg = jnp.take_along_axis(
+                        chrows[base + r * B: base + (r + 1) * B], lo,
+                        axis=1)
+                    g = jnp.where(mfield == cls * rounds + r, gg, g)
+            prod = g * vals
+            for sidx, same in scan_ops:
+                prod = prod + jnp.where(
+                    same, jnp.take_along_axis(prod, sidx, axis=1), 0.0)
+            dep = jnp.take_along_axis(prod, dep_idx, axis=1)
+            daccs.append(jnp.where(valid, dep, 0.0))
+
+        # phase 3: one wide one-hot matmul per (parity, 128-group chunk)
+        # routes ALL columns at once ([8,128] x [128, 128*M] on the MXU)
+        sub_out = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        gmbs = [jax.lax.broadcast_in_dim(gmeta_ref[0, r], (NSUB, 128), (1,))
+                for r in range(B // 128)]
+        for parity in (0, 1):
+            acc = yaccs[parity][...]
+            for r, gmb in enumerate(gmbs):
+                oht = jnp.logical_and(
+                    jnp.bitwise_and(gmb, 7) == sub_out,
+                    jnp.right_shift(gmb, 7) == parity).astype(jnp.float32)
+                dwide = jnp.concatenate(
+                    [d[128 * r: 128 * (r + 1)] for d in daccs], axis=1)
+                acc = acc + jax.lax.dot_general(
+                    oht, dwide,
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+            yaccs[parity][...] = acc
+
+        # phase 4: flush the completing tile
+        @pl.when(step_ref[0, 0, 4] == 1)
+        def _():
+            for parity in (0, 1):
+                @pl.when(step_ref[0, 0, 5] == parity)
+                def _(parity=parity):
+                    y_ref[0] = yaccs[parity][...]
+
+        # phase 5: prefetch the next tile's window
+        @pl.when(jnp.logical_and(step_ref[0, 0, 0] == 1,
+                                 step_ref[0, 0, 3] >= 0))
+        def _():
+            for parity in (0, 1):
+                @pl.when(step_ref[0, 0, 1] == parity)
+                def _(parity=parity):
+                    dma(1 - parity, step_ref[0, 0, 3]).start()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda u, o: (u, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nb), lambda u, o: (u, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B // 128, 128),
+                         lambda u, o: (u, 0, 0)),
+            pl.BlockSpec((nb, NSUB, 128), lambda u, o: (u, 0, 0)),
+            pl.BlockSpec((nb, NSUB, 128), lambda u, o: (u, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128 * M), lambda u, o: (o[u], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((w_sc, M * 8, 128), jnp.float32),
+            pltpu.VMEM((w_sc, M * 8, 128), jnp.float32),
+            pltpu.VMEM((8, 128 * M), jnp.float32),
+            pltpu.VMEM((8, 128 * M), jnp.float32),
+            pltpu.VMEM((M * rounds * B, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, 128 * M), jnp.float32),
+        interpret=interpret)
+
+
+def mrhs_in_layout(cols3):
+    """Stack per-column padded [t, 8, 128] vectors -> [t, M*8, 128]."""
+    import jax.numpy as jnp
+    return jnp.concatenate(cols3, axis=1)
+
+
+def mrhs_out_to_in(y4):
+    """[t, 8, 128*M] output layout -> [t, M*8, 128] input layout (for
+    chained applications, e.g. the Gelfand power iteration)."""
+    t, _, lm = y4.shape
+    M = lm // 128
+    return y4.reshape(t, 8, M, 128).transpose(0, 2, 1, 3) \
+             .reshape(t, M * 8, 128)
+
+
+def mrhs_split_out(y4, n: int):
+    """[t, 8, 128*M] -> [n, M] caller matrix (column m from lane block m)."""
+    t, _, lm = y4.shape
+    M = lm // 128
+    return y4.reshape(t, 8, M, 128).transpose(0, 1, 3, 2) \
+             .reshape(t * TILE, M)[:n]
+
+
 def _vals_cotangent_fn(fmt: StreamFormat):
     """Build the vals-gradient reconstruction for one stream pack.
 
@@ -772,6 +979,179 @@ class StreamSpMV:
     def matvec(self, x):
         return self.from_padded(self._japply(self.op_args,
                                              self.to_padded(x)))
+
+
+def _make_emulate_call_mrhs(fmt: StreamFormat, n_rhs: int):
+    """CI twin of `_make_call_mrhs` via the numpy emulator (per column)."""
+    import jax
+    import jax.numpy as jnp
+
+    M = int(n_rhs)
+
+    def call(out_idx, step_meta, meta, gmeta, word, vals, x4):
+        del out_idx, step_meta, meta, gmeta, word
+
+        def host(vals_h, x4_h):
+            f2 = dataclasses.replace(fmt, vals=np.asarray(vals_h,
+                                                          np.float32))
+            x4h = np.asarray(x4_h)
+            nc = f2.n if f2.n_cols < 0 else f2.n_cols
+            out = np.zeros((fmt.n_tiles, 8, 128 * M), np.float32)
+            for m in range(M):
+                xm = x4h[:, 8 * m: 8 * (m + 1)].reshape(-1)[:nc]
+                ym = emulate_stream(f2, xm)
+                blk = np.zeros(fmt.n_tiles * TILE, np.float32)
+                blk[: fmt.n] = ym
+                out[:, :, 128 * m: 128 * (m + 1)] = \
+                    blk.reshape(fmt.n_tiles, 8, 128)
+            return out
+
+        return jax.pure_callback(
+            host,
+            jax.ShapeDtypeStruct((fmt.n_tiles, 8, 128 * M), jnp.float32),
+            vals, x4)
+
+    return call
+
+
+def _vals_cotangent_mrhs_fn(fmt: StreamFormat, n_rhs: int):
+    """Multi-RHS vals gradient: d vals[slot] = sum_m ybar_m[row] x_m[col]."""
+    import jax.numpy as jnp
+
+    M = int(n_rhs)
+    tou = jnp.asarray(fmt.tile_of_unit, jnp.int32)
+    tws = jnp.asarray(fmt.tile_wstart, jnp.int32)
+    n_units, nsub = fmt.n_units, NSUB
+
+    def cot(pack, x4, ybar4):
+        _, _, meta, gmeta, word, _ = pack
+        word = word.reshape(n_units, nsub, 128)
+        sc = jnp.bitwise_and(meta.reshape(n_units), 0x7FFF)
+        rg = jnp.bitwise_and(gmeta.reshape(n_units, nsub), 7)
+        rowl1 = jnp.bitwise_and(jnp.right_shift(word, 18), 255)
+        m_ = jnp.bitwise_and(jnp.right_shift(word, 7), 7)
+        lo = jnp.bitwise_and(word, 127)
+        row = (tou[:, None, None] * TILE + rg[:, :, None] * 128
+               + rowl1 - 1)
+        col = ((tws[tou] + sc)[:, None, None] * TILE + m_ * 128 + lo)
+        valid = rowl1 >= 1
+        row_s = jnp.where(valid, row, 0)
+        g = jnp.zeros(word.shape, jnp.float32)
+        for m in range(M):
+            xm = x4[:, 8 * m: 8 * (m + 1)].reshape(-1)
+            ym = ybar4[:, :, 128 * m: 128 * (m + 1)].reshape(-1)
+            g = g + ym[row_s] * xm[col]
+        return jnp.where(valid, g, 0.0)
+
+    return cot
+
+
+class StreamSpMM:
+    """Multi-RHS stream SpMM: Y = A X over n_rhs columns in one pass.
+
+    Same operator packs as `StreamSpMV` (pass `fmt`/`fmt_t` to share a
+    built kernel's layout and skip the pack build); the pack metadata is
+    read once per apply and amortized over all columns — see
+    `_make_call_mrhs`. This is the torch-sparse SpMM role of the
+    reference's spectral loss (T @ Y with m probe columns,
+    TrainableJacobiDiag/loss.py:105-128) and multi-column MatVecGNN
+    (MatVecGNN.py:128-129).
+
+    apply(op_args, x4) : differentiable in x4 (cotangent = A^T Ybar via
+                         the transposed pack) and in the forward vals
+                         slots (sum over columns of ybar_m[row] x_m[col]).
+                         x4 is [Lx/1024, n_rhs*8, 128] (input layout);
+                         returns [n_tiles, 8, 128*n_rhs] (output layout).
+                         Chain with `mrhs_out_to_in`.
+    matmat(X)          : convenience Y = A X on [n, n_rhs] matrices.
+    """
+
+    def __init__(self, A_csr, n_rhs: int, nb: int = 32,
+                 kb: Optional[int] = None, with_transpose: bool = True,
+                 interpret: bool = False, backend: str = "pallas",
+                 fmt: Optional[StreamFormat] = None,
+                 fmt_t: Optional[StreamFormat] = None):
+        import jax
+        import jax.numpy as jnp
+
+        if backend not in ("pallas", "emulate"):
+            raise ValueError(f"unknown backend {backend!r}")
+        M = int(n_rhs)
+        self.n_rhs = M
+
+        def maker(f):
+            if backend == "emulate":
+                return _make_emulate_call_mrhs(f, M)
+            return _make_call_mrhs(f, M, interpret=interpret)
+
+        if fmt is None:
+            fmt = build_stream(A_csr, nb=nb, kb=kb)
+        self.fmt = fmt
+        self.n = fmt.n
+        self.nnz = fmt.nnz
+        self.padded_len = fmt.padded_len
+        call = maker(fmt)
+
+        def pack(f):
+            return (jnp.asarray(f.out_idx), jnp.asarray(f.step_meta),
+                    jnp.asarray(f.meta), jnp.asarray(f.gmeta),
+                    jnp.asarray(f.word), jnp.asarray(f.vals))
+
+        fwd_args = pack(fmt)
+
+        if with_transpose:
+            if fmt_t is None:
+                At = A_csr.T.tocsr()
+                At.sort_indices()
+                fmt_t = build_stream(At, nb=nb, kb=kb)
+            if fmt_t.padded_len != fmt.padded_len:
+                raise AssertionError("square operator: padded lens differ")
+            call_t = maker(fmt_t)
+            bwd_args = pack(fmt_t)
+        else:
+            call_t, bwd_args = None, None
+        vc = _vals_cotangent_mrhs_fn(fmt, M)
+
+        @jax.custom_vjp
+        def apply(op_args, x4):
+            return call(*op_args[0], x4)
+
+        def fwd(op_args, x4):
+            return apply(op_args, x4), (op_args, x4)
+
+        def bwd(res, ybar):
+            op_args, x4 = res
+            if call_t is None:
+                raise ValueError("built with with_transpose=False; "
+                                 "gradient unavailable")
+            yb_in = mrhs_out_to_in(ybar)
+            xbar = mrhs_out_to_in(call_t(*op_args[1], yb_in))
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, op_args)
+            dvals = vc(op_args[0], x4, ybar)
+            cot = ((zeros[0][:5] + (dvals,)), zeros[1])
+            return (cot, xbar)
+
+        apply.defvjp(fwd, bwd)
+
+        self.op_args = (fwd_args, bwd_args)
+        self.apply = apply
+        self._japply = jax.jit(apply)
+
+    def to_padded(self, X):
+        """Caller [n_cols, n_rhs] matrix -> input layout [t, M*8, 128]."""
+        import jax.numpy as jnp
+        X = jnp.asarray(X, jnp.float32)
+        if X.ndim != 2 or X.shape[1] != self.n_rhs:
+            raise ValueError(f"expected [n, {self.n_rhs}] matrix, "
+                             f"got {X.shape}")
+        Lx = self.fmt.padded_x_len
+        Xp = jnp.pad(X, ((0, Lx - X.shape[0]), (0, 0)))
+        return Xp.reshape(-1, 8, 128, self.n_rhs) \
+                 .transpose(0, 3, 1, 2).reshape(-1, self.n_rhs * 8, 128)
+
+    def matmat(self, X):
+        y4 = self._japply(self.op_args, self.to_padded(X))
+        return mrhs_split_out(y4, self.n)
 
 
 def rcm_csr(A_csr):

@@ -84,7 +84,9 @@ class StreamOperator:
         """y = A @ x on caller-order [n] vectors."""
         if x.ndim > 1:
             raise ValueError("stream operator matvec is vector-only; "
-                             "vmap or use the COO path for multi-column X")
+                             "use ops.pallas_stream.StreamSpMM for "
+                             "multi-column X (shared-pack SpMM) or the "
+                             "COO path")
         xk = x[self.perm] if self.perm is not None else x
         yk = self.from_padded(self.apply_fn(self.op_args,
                                             self.to_padded(xk)))

@@ -144,6 +144,41 @@ def damping_factor_gelfand_stencil(planes, shifts, diag2d, omega: float,
     return jnp.max(norms) ** (1.0 / k)
 
 
+# ------------------------------------------------- stream (SpMM) path
+def damping_factor_gelfand_spmm(apply_fn, op_args, diag3: Array,
+                                omega, probes4: Array,
+                                k: int = 3) -> Array:
+    """Gelfand damping factor with the propagator's A y applied by the
+    multi-RHS stream kernel (ops/pallas_stream.StreamSpMM) — the
+    unstructured-graph twin of `damping_factor_gelfand_stencil`: training
+    the Jacobi diagonal on operators with no grid/band structure runs the
+    T @ Y iteration (reference loss.py:105-128) on one shared-pack SpMM
+    per step instead of m scatter-bound matvecs.
+
+    apply_fn/op_args : a StreamSpMM's custom-VJP apply and packs (the
+                       operator must be built on the kernel-order matrix;
+                       with_transpose=True for training)
+    diag3            : [t, 8, 128] trainable diagonal in padded kernel
+                       order (pad entries 1); differentiable
+    probes4          : [t, m*8, 128] probe block in SpMM input layout
+                       (StreamSpMM.to_padded of an [n, m] probe matrix)
+    """
+    from gnnla_tpu.ops.pallas_stream import mrhs_out_to_in
+
+    t, m8, _ = probes4.shape
+    M = m8 // 8
+    d4 = jnp.tile(diag3, (1, M, 1))
+
+    def body(_, y4):
+        ay = mrhs_out_to_in(apply_fn(op_args, y4))
+        return y4 - omega * ay / d4
+
+    y4 = jax.lax.fori_loop(0, k, body, probes4)
+    norms = jnp.sqrt(jnp.sum(y4.reshape(t, M, 8, 128) ** 2,
+                             axis=(0, 2, 3)))
+    return jnp.max(norms) ** (1.0 / k)
+
+
 # ------------------------------------------------------------ batch loss
 def loss_batch_stacked(vals: Array, op_template: SparseOperator,
                        diags: Array, probes: Array,

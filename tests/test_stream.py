@@ -226,6 +226,170 @@ def test_stream_vals_grad(rng, delaunay_ops):
     assert abs(fd - an) <= 2e-3 * max(abs(fd), 1.0)
 
 
+# ------------------------------------------------------------------- SpMM
+
+def test_stream_spmm_emulate_matches_scipy(rng):
+    """Multi-RHS pack semantics: per-column parity with scipy A @ X."""
+    from gnnla_tpu.ops.pallas_stream import StreamSpMM, rcm_csr
+    A = _random_csr(rng, 3000, max_deg=8)
+    B, _ = rcm_csr(A)
+    M = 4
+    mm = StreamSpMM(B, M, backend="emulate")
+    X = rng.standard_normal((3000, M)).astype(np.float32)
+    Y = np.asarray(mm.matmat(X))
+    want = B @ X
+    np.testing.assert_allclose(Y, want, rtol=2e-5,
+                               atol=2e-5 * np.abs(want).max())
+
+
+def test_stream_spmm_interpret_and_grads(rng):
+    """The REAL multi-RHS Pallas kernel (shared metadata decode, wide
+    one-hot routing matmul) in interpreter mode: matmat parity, chained
+    applies via the out->in relayout, the x cotangent (A^T Ybar per
+    column), and the summed-over-columns vals cotangent."""
+    import jax
+    import jax.numpy as jnp
+    from gnnla_tpu.ops.pallas_stream import (StreamSpMM, StreamSpMV,
+                                             mrhs_out_to_in, rcm_csr)
+    A = _random_csr(rng, 2048, max_deg=6, extra_heavy_row=False)
+    B, _ = rcm_csr(A)
+    M = 3
+    mm = StreamSpMM(B, M, interpret=True)
+    X = rng.standard_normal((2048, M)).astype(np.float32)
+    Y = np.asarray(mm.matmat(X))
+    want = B @ X
+    np.testing.assert_allclose(Y, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max())
+
+    # the SpMM shares pack layout with the vector kernel: same fmt fields
+    mv = StreamSpMV(B, with_transpose=False)
+    assert mv.fmt.n_steps == mm.fmt.n_steps
+    assert mv.fmt.w_sc == mm.fmt.w_sc
+
+    # chained apply through the relayout (the Gelfand iteration pattern)
+    Bs = (B * 0.1).tocsr()
+    mm2 = StreamSpMM(Bs, M, interpret=True)
+    x4 = mm2.to_padded(X)
+    y4 = mm2.apply(mm2.op_args, x4)
+    y4 = mm2.apply(mm2.op_args, mrhs_out_to_in(y4))
+    from gnnla_tpu.ops.pallas_stream import mrhs_split_out
+    got2 = np.asarray(mrhs_split_out(y4, 2048))
+    np.testing.assert_allclose(got2, Bs @ (Bs @ X), rtol=1e-4, atol=1e-5)
+
+    # x cotangent: d/dX <W, A X> = A^T W, column-wise
+    W = rng.standard_normal((2048, M)).astype(np.float32)
+    w4out = jnp.asarray(np.zeros((mm.fmt.n_tiles, 8, 128 * M), np.float32))
+    # place W into the OUTPUT layout to form the scalar product
+    wq = np.zeros((mm.fmt.n_tiles * 1024, M), np.float32)
+    wq[:2048] = W
+    w4out = jnp.asarray(
+        wq.reshape(mm.fmt.n_tiles, 8, 128, M).transpose(0, 1, 3, 2)
+          .reshape(mm.fmt.n_tiles, 8, 128 * M))
+
+    def f(x4):
+        return jnp.vdot(w4out, mm.apply(mm.op_args, x4))
+
+    g4 = jax.grad(f)(mm.to_padded(jnp.asarray(X)))
+    # back to caller layout: column m is sublane block m
+    t = g4.shape[0]
+    g = np.asarray(g4).reshape(t, M, 8, 128).transpose(0, 2, 3, 1) \
+        .reshape(t * 1024, M)[:2048]
+    want_g = B.T @ W
+    np.testing.assert_allclose(g, want_g, rtol=1e-4,
+                               atol=1e-5 * np.abs(want_g).max())
+
+
+def test_stream_spmm_vals_grad(rng):
+    """vals cotangent = sum_m ybar_m[row] x_m[col]: directional finite
+    difference through the emulate backend."""
+    import jax
+    import jax.numpy as jnp
+    from gnnla_tpu.ops.pallas_stream import StreamSpMM, rcm_csr
+    A = _random_csr(rng, 1500, max_deg=6, extra_heavy_row=False)
+    B, _ = rcm_csr(A)
+    M = 2
+    mm = StreamSpMM(B, M, backend="emulate")
+    X = rng.standard_normal((1500, M)).astype(np.float32)
+    x4 = mm.to_padded(X)
+    W = rng.standard_normal((mm.fmt.n_tiles, 8, 128 * M)).astype(np.float32)
+    w4 = jnp.asarray(W)
+    fwd_args, bwd_args = mm.op_args
+
+    def loss(vals_slot):
+        return jnp.vdot(w4, mm.apply((fwd_args[:5] + (vals_slot,),
+                                      bwd_args), x4))
+
+    g = jax.grad(loss)(fwd_args[5])
+    dv = jnp.asarray(rng.standard_normal(fwd_args[5].shape), jnp.float32)
+    eps = 1e-3
+    fd = (float(loss(fwd_args[5] + eps * dv))
+          - float(loss(fwd_args[5] - eps * dv))) / (2 * eps)
+    an = float(jnp.vdot(g, dv))
+    assert abs(fd - an) <= 2e-3 * max(abs(fd), 1.0)
+
+
+def test_stream_spmm_spectral_loss(rng, delaunay_ops):
+    """The Gelfand damping-factor loss through the multi-RHS stream kernel
+    matches the COO-path loss AND its gradient w.r.t. the trainable
+    diagonal — then a few gradient steps actually reduce it (the
+    trainable-Jacobi training flow on an unstructured operator,
+    reference TrainableJacobiDiag/loss.py:105-128 + train.py:99-128)."""
+    import jax
+    import jax.numpy as jnp
+    from gnnla_tpu.ops.pallas_stream import StreamSpMM, rcm_csr
+    from gnnla_tpu.training.spectral_loss import (
+        damping_factor_gelfand, damping_factor_gelfand_spmm, uniform_probes)
+
+    op, _ = delaunay_ops
+    n = op.n_rows
+    A = op.to_scipy().tocsr()
+    A.sort_indices()
+    B, perm = rcm_csr(A)
+    mm = StreamSpMM(B, 4, backend="emulate")
+    iperm = jnp.asarray(np.argsort(perm), jnp.int32)
+    pj = jnp.asarray(perm, jnp.int32)
+
+    probes = uniform_probes(n, 4, rng).astype(np.float32)
+    probes4 = mm.to_padded(jnp.asarray(probes)[pj])
+    diag0 = np.asarray(op.host_diagonal(), np.float32)
+    omega = 2.0 / 3.0
+
+    t = mm.fmt.n_tiles
+    pad = t * 1024 - n
+
+    def diag3_of(dvals):
+        dk = dvals[pj]
+        return jnp.pad(dk, (0, pad), constant_values=1.0) \
+                  .reshape(t, 8, 128)
+
+    def loss_spmm(dvals):
+        return damping_factor_gelfand_spmm(
+            mm.apply, mm.op_args, diag3_of(dvals), omega, probes4, k=3)
+
+    def loss_coo(dvals):
+        return damping_factor_gelfand(op, dvals, omega,
+                                      jnp.asarray(probes), k=3)
+
+    d0 = jnp.asarray(diag0)
+    l_s, l_c = float(loss_spmm(d0)), float(loss_coo(d0))
+    np.testing.assert_allclose(l_s, l_c, rtol=1e-4)
+
+    g_s = np.asarray(jax.grad(loss_spmm)(d0))
+    g_c = np.asarray(jax.grad(loss_coo)(d0))
+    np.testing.assert_allclose(g_s, g_c, rtol=1e-3,
+                               atol=1e-5 * np.abs(g_c).max())
+
+    # a few plain gradient steps reduce the damping factor
+    d = d0
+    jloss = jax.jit(jax.value_and_grad(loss_spmm))
+    losses = []
+    for _ in range(4):
+        l, g = jloss(d)
+        losses.append(float(l))
+        d = d - 0.5 * g
+    assert losses[-1] < losses[0], losses
+
+
 def test_stream_kernel_interpret(rng):
     """The REAL Pallas kernel (DMA windows, one-hot routing, segmented
     scan) in interpreter mode on a small unstructured matrix: matvec and
