@@ -24,6 +24,23 @@ def main(n=25, seed=24601):
     print(f"multi-col  abs error: {rel_mc:.3e}")
     assert rel < 1e-5 and rel_gnn < 1e-5
 
+    # multi-column at kernel speed: the shared-pack stream SpMM (all
+    # columns in one pass over the edge packs; Mosaic on TPU, the numpy
+    # emulator off-chip)
+    import jax
+
+    from gnnla_tpu.ops.pallas_stream import StreamSpMM, rcm_csr
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    B, _ = rcm_csr(A.to_scipy().tocsr().astype(np.float32))
+    mm = StreamSpMM(B, 3, with_transpose=False,
+                    backend="pallas" if on_tpu else "emulate")
+    Xs = np.asarray(rng.random((n * n, 3)), np.float32)
+    Ys = np.asarray(mm.matmat(Xs))
+    rel_mm = np.linalg.norm(Ys - B @ Xs) / np.linalg.norm(B @ Xs)
+    print(f"stream SpMM rel error: {rel_mm:.3e} "
+          f"({'pallas' if on_tpu else 'emulate'} backend)")
+    assert rel_mm < 1e-5
+
 
 if __name__ == "__main__":
     main()

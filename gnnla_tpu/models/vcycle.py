@@ -250,7 +250,7 @@ class StencilVCycle:
     def __init__(self, setup: TwoGridSetup, grid_shape, *, n_pre: int = 3,
                  n_post: int = 3, omega: float = 0.7, coarse_deg: int = 4,
                  coarse_c: float = -3.4, coarse_d: float = -4.0,
-                 tap_dtype=None):
+                 tap_dtype=None, coarse_dia: bool = True):
         from gnnla_tpu.ops.pallas_stencil import (make_stencil_jacobi,
                                                   make_stencil_residual)
         if not isinstance(setup.A, SparseOperator):
@@ -259,6 +259,16 @@ class StencilVCycle:
                 "construct it before setup_with_dia, not after")
         if min(n_pre, n_post) < 1:
             raise ValueError("n_pre and n_post must be >= 1")
+        if coarse_dia and isinstance(setup.Ac, SparseOperator):
+            # with the fine level fused into stencil kernels, the coarse
+            # Chebyshev solve dominates the cycle on the COO path — swap
+            # Ac to its DIA twin when banded (same numerics, ~3x cycle
+            # speedup measured at 1M rows; P stays COO: rectangular)
+            from gnnla_tpu.ops.dia import to_dia
+            try:
+                setup = dataclasses.replace(setup, Ac=to_dia(setup.Ac))
+            except ValueError:
+                pass  # too irregular — keep the gather path
         h, w = grid_shape
         self.grid_shape = (int(h), int(w))
         self.setup = setup
