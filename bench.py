@@ -563,13 +563,17 @@ def bench_solvers(n_grid: int, extra: dict):
     # size-independent (~0.35) for SA vs degrading towards 1 for the
     # classical pipeline at bench scale (tests/test_aggregation.py).
     try:
-        from gnnla_tpu.models import mg_pcg, setup_sa_multigrid
+        from gnnla_tpu.models import (mg_pcg, setup_sa_multigrid,
+                                      setup_with_dia_multigrid)
 
         n_it = 30
         t0 = time.perf_counter()
         setup_m = setup_sa_multigrid(A, seed=0)
+        setup_m = setup_with_dia_multigrid(setup_m)  # DIA every level
+        n_dia = sum(1 for a in setup_m.As
+                    if not hasattr(a, "row_ptr"))
         log(f"SA multigrid setup: {time.perf_counter() - t0:.1f}s "
-            f"({setup_m.n_levels} levels)")
+            f"({setup_m.n_levels} levels, {n_dia} on DIA)")
 
         @jax.jit
         def run_pcg(s, bb):

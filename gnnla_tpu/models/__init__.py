@@ -13,7 +13,8 @@ from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
     setup_with_dia, setup_with_stream, vcycle, solve, StencilVCycle,
     make_stencil_vcycle)
 from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
-    setup_sa_multigrid, multigrid_cycle, multigrid_solve)
+    setup_sa_multigrid, setup_with_dia_multigrid, multigrid_cycle,
+    multigrid_solve)
 from gnnla_tpu.models.krylov import cg, amg_pcg, mg_pcg
 
 __all__ = [
@@ -31,6 +32,7 @@ __all__ = [
     "GeometricVCycle", "make_geometric_vcycle",
     "cg", "amg_pcg", "mg_pcg",
     "MultigridSetup", "setup_multigrid", "setup_sa_multigrid",
+    "setup_with_dia_multigrid",
     "multigrid_cycle",
     "multigrid_solve",
 ]

@@ -173,6 +173,30 @@ def setup_sa_multigrid(A: SparseOperator, *, theta: float = 0.08,
                           coarse_d=0.5 * (lmax + lmin))
 
 
+def setup_with_dia_multigrid(setup: MultigridSetup,
+                             max_offsets: int = 512) -> MultigridSetup:
+    """Swap every level's operator for its DIA twin when banded enough —
+    the TPU fast path for the whole hierarchy (same protocol trick as
+    `setup_with_dia` on the two-grid setup: jacobi/chebyshev/residual and
+    `mg_pcg`'s CG matvec only use matvec/diagonal, which `DIAOperator`
+    satisfies). Grid problems keep bandedness through SA/Galerkin
+    coarsening (aggregate indices follow node order), so typically every
+    level swaps; any level too irregular keeps the COO gather path.
+    Prolongations stay COO (rectangular: DIA is square-only)."""
+    from gnnla_tpu.ops.dia import to_dia
+
+    def try_dia(op):
+        if not isinstance(op, SparseOperator):
+            return op
+        try:
+            return to_dia(op, max_offsets)
+        except ValueError:
+            return op
+
+    return dataclasses.replace(setup,
+                               As=tuple(try_dia(a) for a in setup.As))
+
+
 def multigrid_cycle(setup: MultigridSetup, b, x, *, n_pre: int = 3,
                     n_post: int = 3, omega: float = 0.7,
                     coarse_deg: int = 8, coarse_c: Optional[float] = None,

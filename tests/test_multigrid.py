@@ -108,3 +108,29 @@ def test_multilevel_anisotropic_converges(rng, stretch):
     r8 = float(jnp.linalg.norm(residual(A, b, x)))
     cf = (r8 / r0) ** (1 / 8)
     assert cf < 0.97, cf
+
+
+def test_dia_hierarchy_parity(A, rng):
+    """setup_with_dia_multigrid: every level of the SA hierarchy swaps to
+    DIA on a grid problem and the cycle (and mg_pcg) numerics match the
+    COO hierarchy bit-for-bit up to fp32 reassociation."""
+    from gnnla_tpu.models import (mg_pcg, setup_sa_multigrid,
+                                  setup_with_dia_multigrid)
+    from gnnla_tpu.ops.dia import DIAOperator
+
+    setup = setup_sa_multigrid(A, seed=0)
+    setup_d = setup_with_dia_multigrid(setup)
+    assert all(isinstance(a, DIAOperator) for a in setup_d.As), \
+        [type(a).__name__ for a in setup_d.As]
+
+    b = jnp.asarray(rng.random(1024), jnp.float32)
+    x0 = jnp.zeros(1024, jnp.float32)
+    want = multigrid_cycle(setup, b, x0, n_pre=2, n_post=2)
+    got = multigrid_cycle(setup_d, b, x0, n_pre=2, n_post=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    xw, hw = mg_pcg(setup, b, x0, n_iters=8, flip_sign=True)
+    xg, hg = mg_pcg(setup_d, b, x0, n_iters=8, flip_sign=True)
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(xw),
+                               rtol=1e-4, atol=1e-5)
