@@ -87,6 +87,30 @@ class EdgeAggregator:
         return jnp.concatenate(outs, axis=-1)
 
 
+# Above this nnz, embedding the dense layout's [N, K] index constants in
+# the program would outweigh the scatter it replaces (and on the tunneled
+# TPU backend, large closed-over constants make the remote compile
+# pathological) — so big operators stay on the segment path.
+DENSE_LAYOUT_MAX_EDGES = 1 << 22
+
+
+def make_edge_aggregator(op: SparseOperator, n_vertices: int,
+                         mask: Optional[Array] = None):
+    """Fastest available rho^{e->v} aggregator for this operator.
+
+    Fixed small/medium patterns with host-known rows get the gather-free
+    DenseRowLayout (one static gather, all reducers share it — the TPU
+    replacement for the reference's per-reducer torch_scatter calls,
+    TrainableJacobiGNN.py:65-68). Masked batches, traced patterns, and
+    very large operators use the scatter-based EdgeAggregator.
+    """
+    if (mask is None and n_vertices == op.n_rows
+            and not isinstance(op.rows, jax.core.Tracer)
+            and op.nnz <= DENSE_LAYOUT_MAX_EDGES):
+        return op.row_layout()
+    return EdgeAggregator(op.rows, n_vertices, mask=mask)
+
+
 class NodeAggregator:
     """Reduces per-vertex (or per-edge) data onto graphs (rho^{v->g}, rho^{e->g}).
 
@@ -195,7 +219,7 @@ class GNBlock:
 
         # ---- rho^{e->v}, phi^v ------------------------------------------
         if self.vertex_fn is not None:
-            agg = EdgeAggregator(op.rows, op.n_rows, mask=edge_mask)
+            agg = make_edge_aggregator(op, op.n_rows, mask=edge_mask)
             g_v = g
             if batch is not None and g is not None and g.ndim == 2:
                 g_v = g[batch.vertex_graph]

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gnnla_tpu.core import EdgeAggregator
+from gnnla_tpu.core.block import make_edge_aggregator
 from gnnla_tpu.ops.sparse import SparseOperator
 
 Array = jax.Array
@@ -31,8 +31,11 @@ def jacobi_diag_features(op_nodiag: SparseOperator, diag: Array) -> Array:
     """[N, 5] vertex features: A_ii + (min, mean, sum, max) of off-diag row.
 
     Mirrors edge_to_vertex_aggregation order (TrainableJacobiGNN.py:65-70).
+    Routes through `make_edge_aggregator`, so fixed patterns run the 4-way
+    reduction off one static gather (DenseRowLayout) instead of four
+    scatters.
     """
-    agg = EdgeAggregator(op_nodiag.rows, op_nodiag.n_rows)
+    agg = make_edge_aggregator(op_nodiag, op_nodiag.n_rows)
     aggregated = agg.multi(("min", "mean", "sum", "max"),
                            op_nodiag.vals[:, None])
     return jnp.concatenate([jnp.ravel(diag)[:, None], aggregated], axis=1)

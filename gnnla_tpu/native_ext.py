@@ -40,6 +40,19 @@ def _load() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "vanek_aggregate"):
         lib.vanek_aggregate.restype = ctypes.c_int64
         lib.vanek_aggregate.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    if hasattr(lib, "stream_pack_plan"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.stream_pack_plan.restype = None
+        lib.stream_pack_plan.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p]
+        lib.stream_pack_fill.restype = None
+        lib.stream_pack_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i64p, f32p,
+            ctypes.c_int64, i64p, i64p, i64p,
+            i32p, i32p, i32p, i32p, i32p, f32p, i32p]
     _lib = lib
     return lib
 
@@ -107,6 +120,71 @@ def cljp_split(S_csr, seed: int = 0) -> np.ndarray:
     lib.cljp_split(n, _i64p(indptr), _i64p(indices),
                    ctypes.c_uint64(seed), _i64p(out))
     return out
+
+
+def stream_pack(indptr, cols, vals, n: int, n_cols: int, nb: int,
+                kb: Optional[int], min_w_sc: int):
+    """Native stream-SpMV packer (graphbuild.cpp::stream_pack_plan/fill).
+
+    Returns a dict of StreamFormat arrays bit-identical to the numpy
+    packer in ops/pallas_stream.py::build_stream, or None when the native
+    library is unavailable / the input falls outside the native fast path
+    (the caller then runs the numpy reference packer).
+
+    Raises ValueError for the same too-wide-window condition the numpy
+    packer rejects (status 1), so both paths fail identically.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "stream_pack_plan"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    n_tiles = -(-n // 1024)
+    header = np.zeros(8, np.int64)
+    tile_wstart = np.zeros(n_tiles, np.int64)
+    unit_offsets = np.zeros(n_tiles + 1, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.stream_pack_plan(n, n_cols, len(cols), _i64p(indptr), _i64p(cols),
+                         nb, -1 if kb is None else int(kb), min_w_sc,
+                         _i64p(header), _i64p(tile_wstart),
+                         _i64p(unit_offsets))
+    status = int(header[5])
+    if status == 1:
+        lx_tiles = -(-n_cols // 1024)
+        raise ValueError(
+            f"column window ({int(header[0])} superchunks) exceeds the "
+            f"padded vector ({lx_tiles}); matrix too small or ordering too "
+            "diffuse for the stream kernel — use the COO path")
+    if status != 0:
+        return None  # out of native range; numpy fallback
+    w_sc, kb_out, _, n_units, n_steps = (int(x) for x in header[:5])
+    meta = np.zeros(n_steps * nb, np.int32)
+    gmeta = np.zeros(n_units * 8, np.int32)
+    step_meta = np.zeros(n_steps * 8, np.int32)
+    out_idx = np.zeros(n_steps, np.int32)
+    word = np.zeros(n_units * 8 * 128, np.int32)
+    vals_out = np.zeros(n_units * 8 * 128, np.float32)
+    tile_of_unit = np.zeros(n_units, np.int32)
+    lib.stream_pack_fill(
+        n, len(cols), _i64p(indptr), _i64p(cols),
+        vals.ctypes.data_as(f32p), nb, _i64p(header), _i64p(tile_wstart),
+        _i64p(unit_offsets),
+        meta.ctypes.data_as(i32p), gmeta.ctypes.data_as(i32p),
+        step_meta.ctypes.data_as(i32p), out_idx.ctypes.data_as(i32p),
+        word.ctypes.data_as(i32p), vals_out.ctypes.data_as(f32p),
+        tile_of_unit.ctypes.data_as(i32p))
+    return dict(
+        meta=meta.reshape(n_steps, 1, nb),
+        gmeta=gmeta.reshape(n_steps, nb * 8 // 128, 128),
+        step_meta=step_meta.reshape(n_steps, 1, 8),
+        out_idx=out_idx,
+        word=word.reshape(n_units, 8, 128),
+        vals=vals_out.reshape(n_units, 8, 128),
+        tile_of_unit=tile_of_unit,
+        tile_wstart=tile_wstart.astype(np.int32),
+        w_sc=w_sc, kb=kb_out)
 
 
 def vanek_aggregate(G_csr) -> Optional[np.ndarray]:

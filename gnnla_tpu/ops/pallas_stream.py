@@ -118,8 +118,8 @@ class StreamFormat:
 
 
 def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None, *,
-                 n_cols: Optional[int] = None, min_w_sc: int = 0
-                 ) -> StreamFormat:
+                 n_cols: Optional[int] = None, min_w_sc: int = 0,
+                 use_native: bool = True) -> StreamFormat:
     """Pack a CSR matrix (indices sorted in-row) into the stream layout.
 
     Pure numpy setup op. The caller is responsible for bandwidth-reducing
@@ -151,6 +151,25 @@ def build_stream(A_csr, nb: int = 32, kb: Optional[int] = None, *,
     deg = np.diff(indptr)
     if nnz == 0:
         raise ValueError("empty matrix")
+
+    if use_native:
+        # C++ per-tile counting-sort packer (native/graphbuild.cpp) —
+        # bit-identical arrays, ~10x faster than the numpy passes below
+        # (tests/test_native.py asserts exact equality). None = library
+        # not built or input outside its range; fall through to numpy.
+        from gnnla_tpu import native_ext
+        packed = native_ext.stream_pack(indptr, cols, vals, n, n_cols,
+                                        nb, kb, min_w_sc)
+        if packed is not None:
+            return StreamFormat(
+                meta=packed["meta"], gmeta=packed["gmeta"],
+                step_meta=packed["step_meta"], out_idx=packed["out_idx"],
+                word=packed["word"], vals=packed["vals"],
+                tile_of_unit=packed["tile_of_unit"],
+                tile_wstart=packed["tile_wstart"],
+                n=n, nnz=int(nnz), n_tiles=-(-n // TILE),
+                w_sc=packed["w_sc"], kb=packed["kb"], nb=nb,
+                n_cols=n_cols)
     rows = np.repeat(np.arange(n, dtype=np.int64), deg)
     n_tiles = -(-n // TILE)
     L = n_tiles * TILE

@@ -229,7 +229,24 @@ class SparseOperator:
                 object.__setattr__(
                     out, "_host_coo",
                     (h[0], h[1], np.asarray(vals, dtype=np.float64)))
+        # the dense-row aggregation layout depends only on the pattern
+        lay = getattr(self, "_row_layout", None)
+        if lay is not None:
+            object.__setattr__(out, "_row_layout", lay)
         return out
+
+    def row_layout(self):
+        """Pattern-cached DenseRowLayout (the fast 4-way aggregation path;
+        ops/segment.py). Needs host rows: cached host COO, or a concrete
+        (non-traced) rows array as the one-time fallback."""
+        lay = getattr(self, "_row_layout", None)
+        if lay is None:
+            from gnnla_tpu.ops.segment import DenseRowLayout
+            h = getattr(self, "_host_coo", None)
+            rows = h[0] if h is not None else np.asarray(self.rows)
+            lay = DenseRowLayout(rows, self.n_rows)
+            object.__setattr__(self, "_row_layout", lay)
+        return lay
 
     def scale(self, s) -> "SparseOperator":
         out = self.with_values(self.vals * s)

@@ -7,7 +7,29 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
+
+
+def save_params_npz(path: str, params: Any) -> None:
+    """One-file, git-committable param snapshot (leaf arrays keyed by their
+    pytree path). Counterpart of the reference committing trained-model
+    artifacts next to the analysis npz (TrainableJacobiDiag/train.py:215)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    arrays = {jax.tree_util.keystr(kp): np.asarray(leaf)
+              for kp, leaf in flat}
+    np.savez_compressed(path, **arrays)
+
+
+def load_params_npz(path: str, template: Any) -> Any:
+    """Inverse of save_params_npz; `template` supplies the pytree structure
+    (e.g. `model.init(...)` output)."""
+    z = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = [np.asarray(z[jax.tree_util.keystr(kp)], np.asarray(t).dtype)
+              for kp, t in flat]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 class CheckpointManager:

@@ -94,6 +94,23 @@ def damping_factor_gelfand(op: SparseOperator, diag: Array, omega: float,
     return jnp.max(norms) ** (1.0 / k)
 
 
+def dinv_a_spectrum(op: SparseOperator, diag) -> np.ndarray:
+    """Spectrum of D^{-1} A (host, dense, eval-only).
+
+    For symmetric A with positive diag, D^{-1}A is similar to the
+    symmetric D^{-1/2} A D^{-1/2}, so `eigvalsh` applies — ~6x faster and
+    exactly real. The damping factor of T = I - omega D^{-1}A for ANY
+    omega is then max |1 - omega * spectrum| (one decomposition serves all
+    omegas — used by the full-test-set evaluation drivers)."""
+    A = np.asarray(op.to_dense(), dtype=np.float64)
+    d = np.asarray(diag, dtype=np.float64)
+    if (d > 0).all() and np.allclose(A, A.T, rtol=0.0,
+                                     atol=1e-12 * np.abs(A).max()):
+        s = 1.0 / np.sqrt(d)
+        return np.linalg.eigvalsh(A * s[:, None] * s[None, :])
+    return np.linalg.eigvals(A / d[:, None])
+
+
 def damping_factor_exact(op: SparseOperator, diag: Array,
                          omega: float) -> float:
     """Exact |lambda|_max of T via dense eigvals (loss.py:59-64; eval only,
@@ -102,11 +119,7 @@ def damping_factor_exact(op: SparseOperator, diag: Array,
     Runs on host: nonsymmetric eig has no TPU lowering, and the reference's
     exact path is likewise a dense eval-only escape (loss.py:57-64).
     """
-    n = op.n_rows
-    A = np.asarray(op.to_dense(), dtype=np.float64)
-    d = np.asarray(diag, dtype=np.float64)
-    T = np.eye(n) - omega * (A / d[:, None])
-    return float(np.max(np.abs(np.linalg.eigvals(T))))
+    return float(np.max(np.abs(1.0 - omega * dinv_a_spectrum(op, diag))))
 
 
 def optimal_omega(op: SparseOperator,
@@ -114,9 +127,7 @@ def optimal_omega(op: SparseOperator,
     """omega* = 2 / (lmax + lmin) of D^{-1} A (loss.py:221-233; dense,
     host-side eval-only)."""
     d = op.diagonal() if diag is None else diag
-    d = np.asarray(d, dtype=np.float64)
-    dinv_a = np.asarray(op.to_dense(), dtype=np.float64) / d[:, None]
-    evals = np.abs(np.linalg.eigvals(dinv_a))
+    evals = np.abs(dinv_a_spectrum(op, d))
     return float(2.0 / (np.max(evals) + np.min(evals)))
 
 

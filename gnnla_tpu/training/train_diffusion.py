@@ -67,6 +67,9 @@ def make_apply(model: DiffusionGNN, ds: StackedGraphs, rel: np.ndarray):
     """Batched forward: (params, offdiag_vals [B,E], diags [B,N], g [B,1])
     -> [B, N, 2] predictions."""
     template_nd = ds.template_nodiag
+    # prebuild the dense-row aggregation layout once; with_values carries
+    # it into every traced copy (GNBlock's make_edge_aggregator fast path)
+    template_nd.row_layout()
     rel_j = jnp.asarray(rel, jnp.float32)
 
     def one(params, ov, d, g):

@@ -88,6 +88,9 @@ def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
     both).
     """
     n = ds.template.n_rows
+    # prebuild the dense-row aggregation layout once; with_values carries
+    # it into every traced copy (models/trainable_jacobi.py fast path)
+    ds.template_nodiag.row_layout()
 
     if layout == "dia":
         from gnnla_tpu.ops.dia import DIAOperator
@@ -301,11 +304,18 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
 
 
 def evaluate_vs_baselines(params, dataset: StackedGraphs,
-                          cfg: TrainJacobiConfig, max_graphs: int = 16):
+                          cfg: TrainJacobiConfig,
+                          max_graphs: Optional[int] = None):
     """Exact damping factors: learned D vs omega=1, 2/3, optimal
-    (reference train.py:126-133 comparison; exact dense path)."""
+    (reference train.py:126-133 comparison; exact dense path).
+
+    Defaults to the WHOLE split — the reference's headline comparison runs
+    over all 150 test matrices (train.py:164-213); pass max_graphs for a
+    cheap CI subset."""
     model = TrainableJacobiMLP(widths=cfg.widths, init_scheme=cfg.init_scheme)
     out = {"learned": [], "w1": [], "w23": [], "opt": []}
+    if max_graphs is None:
+        max_graphs = dataset.n_graphs
     for i in range(min(dataset.n_graphs, max_graphs)):
         op = dataset.template.with_values(
             jnp.asarray(dataset.vals[i], jnp.float32))
@@ -317,11 +327,10 @@ def evaluate_vs_baselines(params, dataset: StackedGraphs,
         # reference evaluates learned D at omega = 2/3 (train.py:203-205)
         out["learned"].append(float(spectral_loss.damping_factor_exact(
             op, dlearn, 2.0 / 3.0)))
-        out["w1"].append(float(spectral_loss.damping_factor_exact(
-            op, diag, 1.0)))
-        out["w23"].append(float(spectral_loss.damping_factor_exact(
-            op, diag, 2.0 / 3.0)))
-        w_opt = spectral_loss.optimal_omega(op, diag)
-        out["opt"].append(float(spectral_loss.damping_factor_exact(
-            op, diag, w_opt)))
+        # one spectrum of D^-1 A serves omega = 1, 2/3, and opt
+        lam = spectral_loss.dinv_a_spectrum(op, diag)
+        out["w1"].append(float(np.max(np.abs(1.0 - lam))))
+        out["w23"].append(float(np.max(np.abs(1.0 - (2.0 / 3.0) * lam))))
+        w_opt = 2.0 / (np.max(np.abs(lam)) + np.min(np.abs(lam)))
+        out["opt"].append(float(np.max(np.abs(1.0 - w_opt * lam))))
     return {k: float(np.mean(v)) for k, v in out.items()}

@@ -76,3 +76,65 @@ def test_cljp_native_matches_python_coverage():
     c_native = native_ext.cljp_split(S, seed=0)
     c_python = split_cljp(S, seed=0)
     assert abs(int(c_native.sum()) - int(c_python.sum())) <= 20
+
+
+# ---------------------------------------------------------------- stream
+def _stream_fixtures():
+    from gnnla_tpu.ops.pallas_stream import rcm_csr
+
+    lap = laplacian_2d(48).to_scipy().tocsr()
+    lap.sort_indices()
+    rng = np.random.default_rng(11)
+    n = 2500
+    R = sp.random(n, n, density=0.004, random_state=7, format="csr")
+    R = (R + R.T + sp.eye(n)).tocsr()
+    R.sort_indices()
+    R2, _ = rcm_csr(R.astype(np.float32))
+    return [("banded", lap), ("rcm_random", R2)]
+
+
+@pytest.mark.parametrize("name,A", _stream_fixtures())
+@pytest.mark.parametrize("kb", [None, 0, 3])
+def test_stream_pack_native_bit_identical(name, A, kb):
+    """The C++ packer must reproduce the numpy packer's arrays EXACTLY —
+    the numpy path is the executable spec (ops/pallas_stream.py)."""
+    from gnnla_tpu.ops.pallas_stream import build_stream
+
+    f_np = build_stream(A, kb=kb, use_native=False)
+    f_cc = build_stream(A, kb=kb, use_native=True)
+    for field in ("meta", "gmeta", "step_meta", "out_idx", "word", "vals",
+                  "tile_of_unit", "tile_wstart"):
+        a, b = getattr(f_np, field), getattr(f_cc, field)
+        assert a.shape == b.shape, (field, a.shape, b.shape)
+        np.testing.assert_array_equal(a, b, err_msg=f"{name}/{field}")
+    assert (f_np.w_sc, f_np.kb, f_np.n, f_np.nnz, f_np.n_tiles,
+            f_np.n_cols) == \
+           (f_cc.w_sc, f_cc.kb, f_cc.n, f_cc.nnz, f_cc.n_tiles, f_cc.n_cols)
+
+
+def test_stream_pack_native_rectangular():
+    """Sharded-path inputs: n_cols != n and a forced window width."""
+    from gnnla_tpu.ops.pallas_stream import build_stream
+
+    lap = laplacian_2d(40).to_scipy().tocsr()
+    n = lap.shape[0]
+    block = lap[: n // 2].tocsr()  # rectangular row shard [n/2, n]
+    block.sort_indices()
+    f_np = build_stream(block, n_cols=n, min_w_sc=2, use_native=False)
+    f_cc = build_stream(block, n_cols=n, min_w_sc=2, use_native=True)
+    for field in ("meta", "gmeta", "step_meta", "out_idx", "word", "vals"):
+        np.testing.assert_array_equal(getattr(f_np, field),
+                                      getattr(f_cc, field), err_msg=field)
+
+
+def test_stream_pack_native_spmv_correct():
+    """End-to-end: native-packed format computes the right A @ x."""
+    from gnnla_tpu.ops.pallas_stream import build_stream, emulate_stream
+
+    lap = laplacian_2d(48).to_scipy().tocsr()
+    lap.sort_indices()
+    f = build_stream(lap, use_native=True)
+    x = np.random.default_rng(3).standard_normal(lap.shape[0]) \
+        .astype(np.float32)
+    y = emulate_stream(f, x)
+    np.testing.assert_allclose(y, lap @ x, rtol=1e-4, atol=1e-5)
