@@ -122,9 +122,18 @@ def log(msg):
     print(msg, file=sys.stderr)
 
 
-def measure_hbm_bw() -> float:
-    """Measured HBM stream bandwidth (bytes/s): y = a*x on 256 MB f32
-    arrays, chained. Read + write = 2x the array bytes per pass."""
+def measure_hbm_bw() -> tuple:
+    """Measured HBM bandwidths (bytes/s): (bw_rw, bw_read).
+
+    bw_rw:   y = a*x streaming, 1:1 read:write mix (read + write = 2x the
+             array bytes per pass).
+    bw_read: read-dominated probe (elementwise reduce over two arrays,
+             scalar output). HBM sustains a higher rate on read-dominated
+             streams than on 1:1 mixes (write turnaround), so a roofline
+             for a read-heavy kernel like DIA SpMV (~(4k+4)B read : 4B
+             write per row) must use a write-cost-weighted denominator —
+             round 3's frac=1.02 came from dividing by bw_rw alone.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -137,6 +146,22 @@ def measure_hbm_bw() -> float:
             return x * 1.000001, None
         x, _ = jax.lax.scan(step, x, None, length=20)
         return x
+
+    @jax.jit
+    def run_read(x):
+        # 20 read passes, one scalar live per pass (no streaming writes).
+        # The carry-dependent slice offset stops XLA from hoisting the
+        # loop-invariant reduction out of the scan.
+        seg_len = nwords - 64
+
+        def step(carry, _):
+            c, off = carry
+            seg = jax.lax.dynamic_slice(x, (off,), (seg_len,))
+            return (c + jnp.dot(seg, seg) * 1e-30,
+                    (off + 1) % 64), None
+        (c, _), _ = jax.lax.scan(step, (jnp.float32(0), 0), None,
+                                 length=20)
+        return c
 
     x = run(x)
     float(jnp.sum(x))
@@ -154,7 +179,15 @@ def measure_hbm_bw() -> float:
         # tunnel's async timing lied — fail the probe, callers fall back
         # to the physical constant rather than emit garbage rooflines
         raise RuntimeError(f"HBM probe implausible: {bw / 1e9:.0f} GB/s")
-    return bw
+    t0 = time.perf_counter()
+    c1 = run_read(x)
+    c2 = run_read(x)
+    float(c1 + c2)
+    dtr = time.perf_counter() - t0
+    bw_read = 2 * 20 * nwords * 4 / max(dtr, 1e-9)
+    if not (1e10 < bw_read < 1.2e12):
+        bw_read = bw  # read probe lied; degrade to the mixed number
+    return bw, max(bw_read, bw)
 
 
 # ----------------------------------------------------------------- sections
@@ -175,19 +208,28 @@ def bench_spmv(n_grid: int, n_iters: int, extra: dict):
     n = op.n_rows
 
     try:
-        bw = measure_hbm_bw()
+        bw, bw_read = measure_hbm_bw()
         extra["hbm_bw_gbs"] = bw / 1e9
-        log(f"hbm stream bw:   {bw / 1e9:.0f} GB/s (measured)")
+        extra["hbm_read_bw_gbs"] = bw_read / 1e9
+        log(f"hbm stream bw:   {bw / 1e9:.0f} GB/s rw-mix, "
+            f"{bw_read / 1e9:.0f} GB/s read (measured)")
     except Exception as e:
-        bw = 819e9  # v5e physical HBM bandwidth — roofline fallback
+        bw = bw_read = 819e9  # v5e physical HBM bandwidth — fallback
         extra["hbm_bw_gbs"] = bw / 1e9
         log(f"hbm probe failed ({type(e).__name__}: {e}); "
             f"using physical 819 GB/s for rooflines")
 
-    def roofline(eps, bytes_per_mv):
-        if not bw:
+    # Per-byte write cost relative to reads, from the two probes: the
+    # 1:1 probe satisfies bw_rw = 2*bw_read/(1+alpha). Read-heavy kernels
+    # are then modelled as t = (R + alpha*W)/bw_read, which is what the
+    # 50/50 denominator of round 3 got wrong (frac 1.02 > 1).
+    alpha_w = max(1.0, 2.0 * bw_read / bw - 1.0)
+
+    def roofline(eps, read_bytes_per_mv, write_bytes_per_mv):
+        if not bw_read:
             return None
-        return (eps / dia.nnz) * bytes_per_mv / bw
+        eff = read_bytes_per_mv + alpha_w * write_bytes_per_mv
+        return (eps / dia.nnz) * eff / bw_read
 
     dia_eps = _bench(lambda d, x: d.matvec(x), dia, x0, dia.nnz, n_iters,
                      n_chain=5)
@@ -201,7 +243,7 @@ def bench_spmv(n_grid: int, n_iters: int, extra: dict):
         pmv = make_dia_spmv_padded(dia)
         pallas_eps = _bench(pmv.apply, pmv.op_args, pmv.to_padded(x0),
                             pmv.nnz, n_iters, n_chain=10)
-        frac = roofline(pallas_eps, (k * 4 + 8) * n)
+        frac = roofline(pallas_eps, (k * 4 + 4) * n, 4 * n)
         extra["dia_pallas_edges_per_s"] = pallas_eps
         extra["dia_pallas_roofline_frac"] = frac
         log(f"dia/pallas:      {pallas_eps:.3e} edges/s"
@@ -222,7 +264,7 @@ def bench_spmv(n_grid: int, n_iters: int, extra: dict):
             pallas16_eps = _bench(pmv16.apply, pmv16.op_args,
                                   pmv16.to_padded(x0), pmv16.nnz, n_iters,
                                   n_chain=10)
-            frac = roofline(pallas16_eps, (k * 2 + 8) * n)
+            frac = roofline(pallas16_eps, (k * 2 + 4) * n, 4 * n)
             extra["dia_pallas_bf16_edges_per_s"] = pallas16_eps
             extra["dia_pallas_bf16_roofline_frac"] = frac
             log(f"dia/pallas-bf16: {pallas16_eps:.3e} edges/s (exact"
@@ -669,11 +711,130 @@ def bench_train(extra: dict):
          for la in ("dia", "stencil")), default=None)
 
 
+def bench_diffusion(extra: dict, n_agg: int = 1024):
+    """Learned-GN-block paths (reference LearnDiffusionCoeffs.py):
+
+    1. the 4-way (min, mean, sum, max) edge->vertex aggregation — the
+       hot op of every learned model — on the DenseRowLayout fast path
+       vs the scatter segment path, on a 1024^2 grid pattern (~5.2M
+       edges). Layout index arrays are threaded as jit ARGUMENTS (the
+       closed-over-constant rule of this backend).
+    2. a full diffusion train step at the reference scale (n_mesh=80
+       bucket, batch 16, best combo: 1 ext / 2 int / 32 hidden,
+       encoder (3,16)) — fwd+bwd through 3 MLP stacks + aggregations.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gnnla_tpu.ops.segment import DenseRowLayout, multi_segment_reduce
+    from gnnla_tpu.problems import laplacian_2d
+
+    AGGS = ("min", "mean", "sum", "max")
+    op = laplacian_2d(n_agg).eliminate_zeros().remove_diagonal()
+    rows_h, _, _ = op.host_coo()
+    lay = DenseRowLayout(rows_h, op.n_rows)
+    E = op.nnz
+    v0 = jnp.asarray(np.random.default_rng(0).standard_normal(E),
+                     jnp.float32)
+
+    gi = jnp.asarray(lay.gather_idx)
+    mask = jnp.asarray(lay.mask)
+    deg = jnp.asarray(np.maximum(lay.deg, 1), jnp.float32)
+
+    def agg_dense(args, v):
+        gi, mask, deg = args
+        p = v[gi]
+        m = mask
+        s = jnp.sum(jnp.where(m, p, 0.0), axis=1)
+        mean = s / deg
+        mx = jnp.max(jnp.where(m, p, -jnp.inf), axis=1)
+        mn = jnp.min(jnp.where(m, p, jnp.inf), axis=1)
+        out = jnp.stack([jnp.where(jnp.isposinf(mn), 0.0, mn), mean, s,
+                         jnp.where(jnp.isneginf(mx), 0.0, mx)], axis=1)
+        # fold back to edge space so the bench can chain output->input
+        return v * 0.999 + 1e-6 * out.sum(axis=1)[jnp.asarray(rows_h)]
+
+    rows_j = jnp.asarray(op.rows)
+
+    def agg_seg(args, v):
+        (rows,) = args
+        out = multi_segment_reduce(AGGS, v[:, None], rows, op.n_rows,
+                                   is_sorted=True)
+        return v * 0.999 + 1e-6 * out.sum(axis=1)[rows]
+
+    dense_eps = _bench(agg_dense, (gi, mask, deg), v0, E, 50, n_chain=3)
+    extra["agg4_dense_edges_per_s"] = dense_eps
+    seg_eps = _bench(agg_seg, (rows_j,), v0, E, 5, n_chain=1)
+    extra["agg4_segment_edges_per_s"] = seg_eps
+    extra["agg4_speedup"] = dense_eps / seg_eps
+    log(f"4-way agg dense: {dense_eps:.3e} edges/s "
+        f"({dense_eps / seg_eps:.1f}x the segment path {seg_eps:.2e})")
+
+    # ---- full diffusion train step --------------------------------------
+    from gnnla_tpu.models.diffusion_gnn import DiffusionGNN
+    from gnnla_tpu.training.datasets import cosine_diffusion_dataset
+    from gnnla_tpu.training.train_diffusion import (edge_features,
+                                                    loss_terms, make_apply)
+
+    # reference scale on the real chip; small twin for CPU smoke runs
+    B, n_mesh = (16, 80) if n_agg >= 512 else (4, 16)
+    t0 = time.perf_counter()
+    ds = cosine_diffusion_dataset(B, n=n_mesh, max_freq=3.0, seed=3,
+                                  cache_dir=None)
+    log(f"diffusion fixture: {B} matrices n={n_mesh} "
+        f"({time.perf_counter() - t0:.1f}s)")
+    rel = edge_features(ds, n_mesh)
+    model = DiffusionGNN(n_layers_external=1, n_layers_internal=2,
+                         n_hidden=32, encoder=(3, 16))
+    apply_b = make_apply(model, ds, rel)
+    from gnnla_tpu.core import GraphState
+    e0 = jnp.concatenate(
+        [jnp.asarray(ds.offdiag_vals[0], jnp.float32)[:, None],
+         jnp.asarray(rel, jnp.float32)], axis=1)
+    s0 = GraphState(vertices=jnp.asarray(ds.diags[0], jnp.float32)[:, None],
+                    edges=e0, globals_=jnp.asarray(ds.globals_[0],
+                                                   jnp.float32))
+    params = model.init(jax.random.PRNGKey(0), ds.template_nodiag, s0)
+    tx = optax.adam(1e-3)
+
+    def loss_fn(params, ov, d, g, y):
+        return loss_terms(apply_b(params, ov, d, g), y)
+
+    @jax.jit
+    def step(params, opt_state, ov, d, g, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, ov, d, g, y)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    args = (jnp.asarray(ds.offdiag_vals, jnp.float32),
+            jnp.asarray(ds.diags, jnp.float32),
+            jnp.asarray(ds.globals_, jnp.float32),
+            jnp.asarray(ds.targets, jnp.float32))
+    opt_state = tx.init(params)
+    params, opt_state, loss = step(params, opt_state, *args)
+    float(loss)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, *args)
+    fl = float(loss)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(fl), fl
+    ms = dt / n_steps * 1e3
+    extra["diffusion_step_ms"] = ms
+    extra["diffusion_edges_per_s"] = B * ds.template_nodiag.nnz / (dt /
+                                                                   n_steps)
+    log(f"diffusion step:  {ms:.1f} ms (batch {B}, n={n_mesh}, loss {fl:.4f}, "
+        f"{extra['diffusion_edges_per_s']:.2e} edge-visits/s)")
+
+
 def main():
     n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     sections = os.environ.get("GNNLA_BENCH_SECTIONS",
-                              "spmv,general,solvers,train").split(",")
+                              "spmv,general,solvers,train,diffusion"
+                              ).split(",")
 
     attempt = int(os.environ.get("GNNLA_BENCH_ATTEMPT", "0"))
     try:
@@ -726,6 +887,11 @@ def main():
             bench_train(extra)
         except Exception as e:
             log(f"[train] FAILED: {type(e).__name__}: {e}")
+    if "diffusion" in sections:
+        try:
+            bench_diffusion(extra, n_agg=min(1024, n_grid))
+        except Exception as e:
+            log(f"[diffusion] FAILED: {type(e).__name__}: {e}")
 
     if cpu is None:
         cpu = extra.get("general_graph_cpu_edges_per_s", 1.0)
