@@ -17,6 +17,12 @@ def galerkin_product(A: SparseOperator, P: SparseOperator,
     dtype = dtype or A.vals.dtype
     A_h = A.to_scipy()
     P_h = P.to_scipy()
-    Ac = (P_h.T @ A_h @ P_h).tocoo()
+    Ac = (P_h.T @ A_h @ P_h).tocsr()
+    # canonicalize in scipy (C++ in-row sort, no duplicates after
+    # sum_duplicates) so from_coo can skip its global argsort+unique
+    # coalesce pass — the setup-phase hot spot at >= 1M rows
+    Ac.sum_duplicates()
+    Ac.sort_indices()
+    Ac = Ac.tocoo()
     return SparseOperator.from_coo(Ac.row, Ac.col, Ac.data, Ac.shape,
-                                   dtype=dtype)
+                                   dtype=dtype, coalesce=False)

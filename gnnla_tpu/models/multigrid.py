@@ -94,7 +94,8 @@ def setup_multigrid(A: SparseOperator, *, theta: float = 0.25,
         current = tg.Ac
         d = None  # trained diagonal applies to the finest level only
     As.append(current)
-    diags.append(current.diagonal())
+    diags.append(jnp.asarray(current.host_diagonal().astype(
+        np.dtype(current.vals.dtype))))
 
     # Chebyshev interval for the coarsest solve from its actual spectrum
     # (host dense eig — the coarsest operator is small by construction)
@@ -153,17 +154,29 @@ def setup_sa_multigrid(A: SparseOperator, *, theta: float = 0.08,
         P = smoothed_prolongator(Ah, S, P_hat, seed=seed)
         Ac = (P.T @ Ah @ P).tocsr()
         Ac.sum_duplicates()
+        Ac.sort_indices()
+        P = P.tocsr()
+        P.sum_duplicates()
+        P.sort_indices()
         Pc = P.tocoo()
         As.append(current)
         Ps.append(SparseOperator.from_coo(Pc.row, Pc.col, Pc.data,
-                                          P.shape, dtype=dtype))
-        diags.append(current.diagonal() if d is None else jnp.ravel(d))
+                                          P.shape, dtype=dtype,
+                                          coalesce=False))
+        # host diagonal: setup never touches the device (each level's
+        # .diagonal() was a compile + scatter round-trip on the tunnel —
+        # the bulk of round 3's 54.6s SA setup at 1M rows)
+        diags.append(jnp.asarray(current.host_diagonal().astype(
+                                     np.dtype(current.vals.dtype)))
+                     if d is None else jnp.ravel(d))
         d = None
         Acc = Ac.tocoo()
         current = SparseOperator.from_coo(Acc.row, Acc.col, Acc.data,
-                                          Ac.shape, dtype=dtype)
+                                          Ac.shape, dtype=dtype,
+                                          coalesce=False)
     As.append(current)
-    diags.append(current.diagonal())
+    diags.append(jnp.asarray(current.host_diagonal().astype(
+        np.dtype(current.vals.dtype))))
 
     evals = np.linalg.eigvals(np.asarray(current.to_scipy().todense()))
     lmin, lmax = float(np.min(evals.real)), float(np.max(evals.real))

@@ -148,7 +148,10 @@ def setup_twogrid(A: SparseOperator, *, theta: float = 0.25,
     import scipy.sparse as sp
 
     A_nodiag = A.remove_diagonal()
-    a_diag = A.diagonal() if diag is None else jnp.ravel(diag)
+    # host-computed diagonal (setup phase must not touch the device;
+    # A.diagonal() is a jitted scatter — a compile + tunnel round-trip)
+    a_diag = (jnp.asarray(A.host_diagonal().astype(np.dtype(A.vals.dtype)))
+              if diag is None else jnp.ravel(diag))
     rows, cols, vals = A_nodiag.host_coo()
     diag_h = A.host_diagonal()
 

@@ -125,6 +125,6 @@ def to_dia(op: SparseOperator,
     diags = np.zeros((uniq.size, n), dtype=np.float64)
     k_idx = np.searchsorted(uniq, offs)
     np.add.at(diags, (k_idx, rows), vals)
-    return DIAOperator(diags=jnp.asarray(diags, op.vals.dtype),
+    return DIAOperator(diags=jnp.asarray(diags.astype(np.dtype(op.vals.dtype))),
                        offsets=tuple(int(o) for o in uniq), n=n,
                        nnz=op.nnz)

@@ -95,11 +95,16 @@ class SparseOperator:
         row_ptr = np.zeros(shape[0] + 1, dtype=np.int64)
         np.add.at(row_ptr, rows + 1, 1)
         row_ptr = np.cumsum(row_ptr)
+        # dtype conversion happens in NUMPY first: jnp.asarray with a
+        # dtype change compiles a convert program per distinct shape
+        # (0.4 s each on the tunneled remote compiler — multilevel setups
+        # paid 37 of these in round 3); same-dtype asarray is a pure
+        # device_put.
         out = SparseOperator(
-            rows=jnp.asarray(rows, dtype=jnp.int32),
-            cols=jnp.asarray(cols, dtype=jnp.int32),
-            vals=jnp.asarray(vals, dtype=dtype),
-            row_ptr=jnp.asarray(row_ptr, dtype=jnp.int32),
+            rows=jnp.asarray(rows.astype(np.int32)),
+            cols=jnp.asarray(cols.astype(np.int32)),
+            vals=jnp.asarray(np.asarray(vals, np.dtype(dtype))),
+            row_ptr=jnp.asarray(row_ptr.astype(np.int32)),
             shape=(int(shape[0]), int(shape[1])),
         )
         # Cache the host-side COO triplets on the instance (NOT a pytree
