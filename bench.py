@@ -711,6 +711,63 @@ def bench_train(extra: dict):
          for la in ("dia", "stencil")), default=None)
 
 
+def bench_convergence(n_grid: int, extra: dict):
+    """Per-cycle convergence factor vs problem size: classical two-grid
+    (the reference's pipeline, VCycle.py:175-237) against SA multilevel.
+
+    This is the quantitative case for the SA subsystem: the classical
+    splitting+direct-interp factor degrades with size while SA's stays
+    flat (models/multigrid.py docstring; VERDICT r3 item 8). Factor =
+    (||r_k|| / ||r_0||)^(1/k) after k = 8 cycles on the FD Laplacian.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gnnla_tpu.models import (multigrid_cycle, residual,
+                                  setup_sa_multigrid,
+                                  setup_with_dia_multigrid)
+    from gnnla_tpu.models.vcycle import setup_twogrid, solve
+    from gnnla_tpu.problems import laplacian_2d
+
+    sizes = [s for s in (64, 128, 256, 512) if s <= max(64, n_grid // 2)]
+    k = 8
+    table = {}
+    for s in sizes:
+        # UNSCALED operator: the reference cycle's Chebyshev coarse
+        # interval (c=-3.4, d=-4.0) is calibrated to the -4-diagonal FD
+        # Laplacian spectrum (VCycle.py:251-272)
+        op = laplacian_2d(s).eliminate_zeros()
+        b = jnp.ones(op.n_rows)
+        r0 = float(jnp.linalg.norm(b))
+
+        tg = setup_twogrid(op, splitting="cljp", seed=0)
+        xk = jax.jit(lambda st, bb: solve(st, bb, jnp.zeros_like(bb),
+                                          n_cycles=k))(tg, b)
+        cf_cl = (float(jnp.linalg.norm(residual(op, b, xk))) / r0) ** (1 / k)
+
+        sa = setup_with_dia_multigrid(setup_sa_multigrid(op, seed=0))
+
+        @jax.jit
+        def run_sa(st, bb):
+            x = jnp.zeros_like(bb)
+            for _ in range(k):
+                x = multigrid_cycle(st, bb, x, n_pre=2, n_post=2)
+            return x
+
+        xs = run_sa(sa, b)
+        cf_sa = (float(jnp.linalg.norm(residual(op, b, xs))) / r0) ** (1 / k)
+        table[s] = (cf_cl, cf_sa)
+        extra[f"convfac_classical_{s}"] = cf_cl
+        extra[f"convfac_sa_{s}"] = cf_sa
+        log(f"conv factor {s:4d}^2: classical two-grid {cf_cl:.3f}   "
+            f"SA multilevel {cf_sa:.3f}")
+    if len(sizes) >= 2:
+        s0, s1 = sizes[0], sizes[-1]
+        extra["convfac_sa_flat"] = table[s1][1] - table[s0][1]
+        log(f"SA factor drift {s0}^2 -> {s1}^2: "
+            f"{extra['convfac_sa_flat']:+.3f} (flat = scalable)")
+
+
 def bench_diffusion(extra: dict, n_agg: int = 1024):
     """Learned-GN-block paths (reference LearnDiffusionCoeffs.py):
 
@@ -833,8 +890,8 @@ def main():
     n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     sections = os.environ.get("GNNLA_BENCH_SECTIONS",
-                              "spmv,general,solvers,train,diffusion"
-                              ).split(",")
+                              "spmv,general,solvers,train,diffusion,"
+                              "convergence").split(",")
 
     attempt = int(os.environ.get("GNNLA_BENCH_ATTEMPT", "0"))
     try:
@@ -892,6 +949,11 @@ def main():
             bench_diffusion(extra, n_agg=min(1024, n_grid))
         except Exception as e:
             log(f"[diffusion] FAILED: {type(e).__name__}: {e}")
+    if "convergence" in sections:
+        try:
+            bench_convergence(n_grid, extra)
+        except Exception as e:
+            log(f"[convergence] FAILED: {type(e).__name__}: {e}")
 
     if cpu is None:
         cpu = extra.get("general_graph_cpu_edges_per_s", 1.0)

@@ -10,7 +10,8 @@ from gnnla_tpu.models.direct_interp import direct_interp
 from gnnla_tpu.models.geometric import (GeometricVCycle,
     make_geometric_vcycle)
 from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
-    setup_with_dia, setup_with_stream, vcycle, solve, StencilVCycle,
+    setup_with_dia, setup_with_stream, setup_auto, AutoTwoGrid,
+    vcycle, solve, StencilVCycle,
     make_stencil_vcycle)
 from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
     setup_sa_multigrid, setup_with_dia_multigrid, multigrid_cycle,
@@ -27,7 +28,7 @@ __all__ = [
     "soc_classic", "soc_sa", "soc_classic_blocks",
     "direct_interp",
     "TwoGridSetup", "setup_twogrid", "setup_with_dia",
-    "setup_with_stream", "vcycle", "solve",
+    "setup_with_stream", "setup_auto", "AutoTwoGrid", "vcycle", "solve",
     "StencilVCycle", "make_stencil_vcycle",
     "GeometricVCycle", "make_geometric_vcycle",
     "cg", "amg_pcg", "mg_pcg",

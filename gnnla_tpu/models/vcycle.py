@@ -353,3 +353,123 @@ def solve(setup: TwoGridSetup, b, x, *, n_cycles: int,
 
     x, _ = jax.lax.scan(step, x, None, length=n_cycles)
     return x
+
+
+# --------------------------------------------------- automatic path choice
+def _infer_grid_shape(A: SparseOperator):
+    """(h, w) when A's pattern is a tensor-product grid stencil, else None.
+
+    Square vertex count + every edge offset falling into a bounded set of
+    2-D shifts (ops/pallas_stencil.stencil_classes raises otherwise)."""
+    import math
+
+    n = A.n_rows
+    h = math.isqrt(n)
+    if h * h != n:
+        return None
+    from gnnla_tpu.ops.pallas_stencil import stencil_classes
+
+    rows, cols, _ = A.host_coo()
+    try:
+        stencil_classes(rows, cols, h, h)
+    except Exception:
+        return None
+    return (h, h)
+
+
+class AutoTwoGrid:
+    """Two-grid solver on the fastest execution path available for this
+    operator — resolves the round-3 gap where the 8.5x-slower COO path
+    was the silent default unless users knew the fast twins existed.
+
+    Probe order (each guarded by its existing ValueError probes):
+      stencil  fused VMEM stencil kernels (tensor-product grid patterns;
+               115 ms -> sub-ms per cycle at 1M rows in BENCH_r03)
+      dia      gather-free shift layout (banded patterns)
+      stream   lane-local-gather Pallas kernel (general graphs, large)
+      coo      always works
+
+    `layout` records the choice; `why` the per-layout failure reasons.
+    `run(b, x)` is one jitted cycle, `solve(b, x, n_cycles)` a scanned
+    batch of cycles (stencil runs the Python loop: its cycle is already
+    one fused program).
+    """
+
+    def __init__(self, setup: TwoGridSetup, *, grid_shape=None,
+                 layouts=("stencil", "dia", "stream", "coo"),
+                 stream_backend: str = "pallas", **cycle_kwargs):
+        if not isinstance(setup.A, SparseOperator):
+            raise ValueError("pass the plain COO setup (before any "
+                             "setup_with_* swap)")
+        self.cycle_kwargs = cycle_kwargs
+        self.why = {}
+        self._stencil = None
+        self.setup = setup
+        for lay in layouts:
+            try:
+                if lay == "stencil":
+                    gs = grid_shape or _infer_grid_shape(setup.A)
+                    if gs is None:
+                        raise ValueError("pattern is not a tensor-product "
+                                         "grid")
+                    self._stencil = StencilVCycle(setup, gs, **cycle_kwargs)
+                elif lay == "dia":
+                    swapped = setup_with_dia(setup)
+                    if isinstance(swapped.A, SparseOperator):
+                        raise ValueError("pattern not banded enough for "
+                                         "DIA")
+                    self.setup = swapped
+                elif lay == "stream":
+                    if setup.A.n_rows < 4096:
+                        raise ValueError(
+                            "operator too small for the stream kernel "
+                            "(single 1024-row tile dominates; COO wins)")
+                    self.setup = setup_with_stream(setup,
+                                                   backend=stream_backend)
+                elif lay != "coo":
+                    raise ValueError(f"unknown layout {lay!r}")
+                self.layout = lay
+                break
+            except ValueError as e:
+                self.why[lay] = str(e)
+        else:
+            raise ValueError(f"no layout accepted this operator: "
+                             f"{self.why}")
+        if self._stencil is None:
+            self._run = jax.jit(
+                lambda s, b, x: vcycle(s, b, x, **cycle_kwargs))
+
+    def run(self, b, x) -> jnp.ndarray:
+        """One two-grid cycle on the chosen path."""
+        if self._stencil is not None:
+            return self._stencil.run(b, x)
+        return self._run(self.setup, b, x)
+
+    def solve(self, b, x, *, n_cycles: int) -> jnp.ndarray:
+        if self._stencil is not None:
+            x = jnp.ravel(x)
+            for _ in range(n_cycles):
+                x = self._stencil.run(b, x)
+            return x
+        return jax.jit(
+            lambda s, bb, xx: solve(s, bb, xx, n_cycles=n_cycles,
+                                    **self.cycle_kwargs)
+        )(self.setup, b, x)
+
+
+def setup_auto(A: SparseOperator, *, theta: float = 0.25,
+               splitting: str = "cljp", seed: int = 0,
+               diag=None, trunc: float = 0.0,
+               interp: str = "reference", grid_shape=None,
+               stream_backend: str = "pallas",
+               **cycle_kwargs) -> AutoTwoGrid:
+    """setup_twogrid + automatic fast-path selection in one call.
+
+    Returns an AutoTwoGrid whose `.layout` says which execution path won
+    (stencil > dia > stream > coo). Cycle parameters (n_pre, n_post,
+    omega, coarse_*) are baked in via **cycle_kwargs; numerics match
+    `vcycle` on the plain setup for every path (tests assert parity)."""
+    setup = setup_twogrid(A, theta=theta, splitting=splitting, seed=seed,
+                          diag=diag, trunc=trunc, interp=interp)
+    return AutoTwoGrid(setup, grid_shape=grid_shape,
+                       stream_backend=stream_backend, **cycle_kwargs)

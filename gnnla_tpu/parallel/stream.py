@@ -20,11 +20,18 @@ shards`, step count padded with no-op steps (`pad_steps`) — then stacked
 on a leading mesh axis so every device reads its own slice while the
 single `pallas_call` shape fits all of them.
 
-Forward-only: the sharded apply has no custom VJP (the single-chip
-`StreamSpMV` is the differentiable path; sharded training shards the
-*batch*, not one operator). No reference counterpart — the reference is
-single-device (SURVEY.md §2.5); the scaling contract is BASELINE.md's
->= 80% edges/s efficiency, modeled by `stream_scaling_model`.
+Differentiable (round 4): `build_sharded_stream(..., with_grad=True)`
+adds a custom VJP to the sharded apply — the x cotangent runs the
+TRANSPOSED per-shard packs (A_d^T on the halo-extended column window)
+followed by the REVERSED halo exchange (the halo slabs of the gradient
+are scattered-ADDED back to their owner shards), and the vals cotangent
+is the real per-slot gradient ybar[row] * x_ext[col] reconstructed from
+the packed words, exactly like the single-chip StreamSpMV. This lets the
+spectral loss train THROUGH a row-sharded operator (model-parallel
+training over one large matrix — the north-star scaling story). No
+reference counterpart — the reference is single-device (SURVEY.md §2.5);
+the scaling contract is BASELINE.md's >= 80% edges/s efficiency, modeled
+by `stream_scaling_model`.
 """
 
 from __future__ import annotations
@@ -101,6 +108,13 @@ class ShardedStreamSpMV:
     local_apply: callable = None  # per-shard body for composition inside
     #                               a caller's shard_map (see vcycle)
     pack_specs: Tuple = ()
+    # --- differentiable path (with_grad=True) -------------------------
+    # diff_args = (fwd packs, transposed packs, (tile_of_unit stacks,
+    # tile_wstart stacks)); apply_diff(diff_args, x3) has a full custom
+    # VJP: d/dx = A^T ybar (transposed packs + reversed halo scatter-add),
+    # d/dvals = ybar[row] * x_ext[col] per packed slot.
+    diff_args: Optional[Tuple] = None
+    apply_diff: callable = None
 
     @property
     def padded_len(self) -> int:
@@ -131,7 +145,8 @@ class ShardedStreamSpMV:
 def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
                          reorder: bool = True, nb: int = 32,
                          kb: Optional[int] = None,
-                         interpret: bool = False) -> ShardedStreamSpMV:
+                         interpret: bool = False,
+                         with_grad: bool = False) -> ShardedStreamSpMV:
     """Build the sharded stream kernel from a SparseOperator (host setup).
 
     Row blocks are contiguous ranges of the (RCM-ordered) operator, one
@@ -231,11 +246,159 @@ def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
     apply = jax.jit(lambda packs, x3: fn(*packs, x3))
 
     nnz = sum(f.nnz for f in fmts) - (N - n)  # minus the padding diagonal
-    return ShardedStreamSpMV(
+    kern = ShardedStreamSpMV(
         packs=packs, mesh=mesh, axis=axis, n=n, nnz=nnz,
         t_global=t_global, h_tiles=h, w_sc=w_max, n_steps=s_max, nb=nb,
         perm=perm, apply=apply, local_apply=local_apply,
         pack_specs=pack_specs)
+    if with_grad:
+        _attach_sharded_vjp(kern, A, fmts, call, local_apply, h, R, t_loc,
+                            ncol_ext, ndev, nb, interpret)
+    return kern
+
+
+def _attach_sharded_vjp(kern: ShardedStreamSpMV, A, fmts, call_f,
+                        local_apply, h, R, t_loc, ncol_ext, ndev, nb,
+                        interpret):
+    """Build the differentiable sharded apply (see module docstring).
+
+    Backward structure per shard d (all inside one shard_map):
+      x_ext  = [x_{d-1}[-h:], x_d, x_{d+1}[:h]]     (same ring as forward)
+      g_ext  = A_d^T ybar_d            (transposed pack, rectangular:
+                                        R rows of A -> ncol_ext outputs)
+      xbar_d = g_ext[center]
+               + slab from d+1 (its g_ext top = grads for x_d's tail)
+               + slab from d-1 (its g_ext bottom = grads for x_d's head)
+      dvals  = ybar[row] * x_ext[col] per packed slot (word decode)
+    """
+    from scipy import sparse as sp
+
+    mesh, axis = kern.mesh, kern.axis
+
+    # transposed per-shard packs: A_d^T maps ybar [R] -> g_ext [ncol_ext]
+    def shard_fmt_t(d, kb_use, min_w_sc):
+        base = d * R - h * TILE
+        sub = A[d * R: (d + 1) * R].tocsr()
+        sub = sp.csr_matrix(
+            (sub.data.astype(np.float32), sub.indices - base, sub.indptr),
+            shape=(R, ncol_ext))
+        At = sub.T.tocsr()
+        At.sort_indices()
+        return build_stream(At, nb=nb, kb=kb_use, n_cols=R,
+                            min_w_sc=min_w_sc)
+
+    fmts_t = []
+    kb_t = None
+    for d in range(ndev):
+        f = shard_fmt_t(d, kb_t, 0)
+        kb_t = f.kb
+        fmts_t.append(f)
+    w_max_t = max(f.w_sc for f in fmts_t)
+    fmts_t = [f if f.w_sc == w_max_t else shard_fmt_t(d, kb_t, w_max_t)
+              for d, f in enumerate(fmts_t)]
+    s_max_t = max(f.n_steps for f in fmts_t)
+    fmts_t = [pad_steps(f, s_max_t) for f in fmts_t]
+
+    def stack(fs, field):
+        return jnp.asarray(np.stack([getattr(f, field) for f in fs]))
+
+    packs_t = (stack(fmts_t, "out_idx"), stack(fmts_t, "step_meta"),
+               stack(fmts_t, "meta"), stack(fmts_t, "gmeta"),
+               stack(fmts_t, "word"), stack(fmts_t, "vals"))
+    specs_t = tuple(P(axis, *([None] * (p.ndim - 1))) for p in packs_t)
+    packs_t = tuple(jax.device_put(p, NamedSharding(mesh, s))
+                    for p, s in zip(packs_t, specs_t))
+    call_t = _make_call(fmts_t[0], interpret=interpret)
+
+    # per-shard decode tables for the vals cotangent (fwd-pack layout)
+    tou = stack(fmts, "tile_of_unit")
+    tws = stack(fmts, "tile_wstart")
+    aux = (jax.device_put(tou, NamedSharding(mesh, P(axis, None))),
+           jax.device_put(tws, NamedSharding(mesh, P(axis, None))))
+    aux_specs = (P(axis, None), P(axis, None))
+    n_units_f = fmts[0].n_units
+
+    def exchange(x_l):
+        if h == 0:
+            return x_l
+        top = jax.lax.ppermute(
+            x_l[-h:], axis, [(i, (i + 1) % ndev) for i in range(ndev)])
+        bot = jax.lax.ppermute(
+            x_l[:h], axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+        return jnp.concatenate([top, x_l, bot], axis=0)
+
+    def vals_cot_local(me, gm, wo, tou_l, tws_l, x_ext, ybar_l):
+        word = wo.reshape(n_units_f, NSUB, 128)
+        sc = jnp.bitwise_and(me.reshape(n_units_f), 0x7FFF)
+        rg = jnp.bitwise_and(gm.reshape(n_units_f, NSUB), 7)
+        rowl1 = jnp.bitwise_and(jnp.right_shift(word, 18), 255)
+        m = jnp.bitwise_and(jnp.right_shift(word, 7), 7)
+        lo = jnp.bitwise_and(word, 127)
+        row = (tou_l[:, None, None] * TILE + rg[:, :, None] * 128
+               + rowl1 - 1)
+        col = ((tws_l[tou_l] + sc)[:, None, None] * TILE + m * 128 + lo)
+        valid = rowl1 >= 1
+        g = (ybar_l.reshape(-1)[jnp.where(valid, row, 0)]
+             * x_ext.reshape(-1)[col])
+        return jnp.where(valid, g, 0.0)
+
+    def body_bwd(oi_t, sm_t, me_t, gm_t, wo_t, va_t,
+                 me_f, gm_f, wo_f, tou_s, tws_s, x_l, ybar_l):
+        x_ext = exchange(x_l)
+        g_ext = call_t(oi_t[0], sm_t[0], me_t[0], gm_t[0], wo_t[0],
+                       va_t[0], ybar_l)
+        own = g_ext[h: h + t_loc] if h > 0 else g_ext
+        if h > 0:
+            # d+1's top slab holds grads for x_d's tail; d-1's bottom slab
+            # holds grads for x_d's head — reversed ring, scatter-ADD
+            from_next = jax.lax.ppermute(
+                g_ext[:h], axis, [(i, (i - 1) % ndev) for i in range(ndev)])
+            from_prev = jax.lax.ppermute(
+                g_ext[t_loc + h:], axis,
+                [(i, (i + 1) % ndev) for i in range(ndev)])
+            own = own.at[-h:].add(from_next).at[:h].add(from_prev)
+        dvals = vals_cot_local(me_f[0], gm_f[0], wo_f[0], tou_s[0],
+                               tws_s[0], x_ext, ybar_l)
+        return own, dvals[None]  # leading mesh axis for the stacked pack
+
+    vspec = P(axis, None, None)
+    fwd_specs = kern.pack_specs
+    fn_bwd = shard_map(
+        body_bwd, mesh=mesh,
+        in_specs=specs_t + fwd_specs[2:5] + aux_specs + (vspec, vspec),
+        out_specs=(vspec, P(axis, None, None, None)), check_vma=False)
+    jit_bwd = jax.jit(lambda pt, pf, ax, x3, yb: fn_bwd(
+        *pt, pf[2], pf[3], pf[4], ax[0], ax[1], x3, yb))
+
+    fwd_apply = kern.apply
+
+    @jax.custom_vjp
+    def apply_diff(diff_args, x3):
+        packs_f, _, _ = diff_args
+        return fwd_apply(packs_f, x3)
+
+    def vfwd(diff_args, x3):
+        return apply_diff(diff_args, x3), (diff_args, x3)
+
+    def _zero_cot(x):
+        # integer layout arrays carry float0 tangents (jax convention)
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    def vbwd(res, ybar):
+        diff_args, x3 = res
+        packs_f, packs_t_, aux_ = diff_args
+        xbar, dvals = jit_bwd(packs_t_, packs_f, aux_, x3, ybar)
+        zf = jax.tree_util.tree_map(_zero_cot, packs_f)
+        zt = jax.tree_util.tree_map(_zero_cot, packs_t_)
+        za = jax.tree_util.tree_map(_zero_cot, aux_)
+        cot = ((zf[:5] + (dvals.astype(packs_f[5].dtype),)), zt, za)
+        return (cot, xbar)
+
+    apply_diff.defvjp(vfwd, vbwd)
+    kern.diff_args = (kern.packs, packs_t, aux)
+    kern.apply_diff = apply_diff
 
 
 def stream_scaling_model(kern: ShardedStreamSpMV, *,

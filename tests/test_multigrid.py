@@ -134,3 +134,78 @@ def test_dia_hierarchy_parity(A, rng):
     xg, hg = mg_pcg(setup_d, b, x0, n_iters=8, flip_sign=True)
     np.testing.assert_allclose(np.asarray(xg), np.asarray(xw),
                                rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------- automatic path choice
+def test_setup_auto_picks_stencil_on_grid(monkeypatch):
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    # CPU CI runs the stencil kernels through the Pallas interpreter
+    # (same recipe as tests/test_pallas.py)
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+
+    from gnnla_tpu.models import setup_auto, setup_twogrid, vcycle
+    from gnnla_tpu.problems import laplacian_2d
+
+    op = laplacian_2d(24).eliminate_zeros()
+    auto = setup_auto(op, seed=0)
+    assert auto.layout == "stencil", auto.why
+    b = jnp.ones(op.n_rows)
+    x_auto = auto.run(b, jnp.zeros_like(b))
+    # numerics match the plain COO cycle
+    tg = setup_twogrid(op, seed=0)
+    x_ref = vcycle(tg, b, jnp.zeros_like(b))
+    np.testing.assert_allclose(np.asarray(x_auto), np.asarray(x_ref),
+                               rtol=2e-4, atol=2e-5)
+    x5 = auto.solve(b, jnp.zeros_like(b), n_cycles=3)
+    assert np.isfinite(np.asarray(x5)).all()
+
+
+def test_setup_auto_picks_dia_on_banded_nongrid():
+    import jax.numpy as jnp
+
+    from gnnla_tpu.models import setup_auto, setup_twogrid, vcycle
+    from gnnla_tpu.problems import laplacian_nd
+
+    # 1-D Laplacian: banded but n is not a perfect-square grid
+    op, _, _ = laplacian_nd((37 * 41,))
+    op = op.eliminate_zeros()
+    auto = setup_auto(op, seed=0)
+    assert auto.layout == "dia", (auto.layout, auto.why)
+    b = jnp.ones(op.n_rows)
+    x_auto = auto.run(b, jnp.zeros_like(b))
+    tg = setup_twogrid(op, seed=0)
+    x_ref = vcycle(tg, b, jnp.zeros_like(b))
+    np.testing.assert_allclose(np.asarray(x_auto), np.asarray(x_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_setup_auto_falls_back_to_coo():
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from gnnla_tpu.models import setup_auto
+    from gnnla_tpu.ops.sparse import SparseOperator
+
+    # small unstructured SPD-ish operator: not a grid, too many offsets
+    # for DIA at max_offsets... (small, so force dia rejection via the
+    # random pattern), too small for the stream kernel
+    rng = np.random.default_rng(5)
+    n = 300
+    R = sp.random(n, n, density=0.05, random_state=3, format="csr")
+    A = (R + R.T + 20 * sp.eye(n)).tocsr()
+    A.sort_indices()
+    op = SparseOperator.from_scipy(A)
+    auto = setup_auto(op, seed=0, layouts=("stencil", "stream", "coo"))
+    assert auto.layout == "coo", (auto.layout, auto.why)
+    assert "stencil" in auto.why and "stream" in auto.why
+    b = jnp.ones(n)
+    x = auto.run(b, jnp.zeros_like(b))
+    assert np.isfinite(np.asarray(x)).all()

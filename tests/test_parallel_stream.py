@@ -157,3 +157,119 @@ def test_stream_scaling_model_fields(mesh):
     assert 0 < m["efficiency_overlapped"] <= 1
     assert m["comm_bytes_per_chip"] == 2 * kern.h_tiles * 1024 * 4
     assert m["edges_per_s_aggregate"] > 0
+
+
+# ------------------------------------------------------------ gradients
+def test_sharded_stream_vjp_x_cotangent(mesh):
+    """d/dx sum(w * (A x)) == A^T w through the sharded apply — the
+    transposed packs + reversed halo scatter-add."""
+    import jax.numpy as jnp
+
+    n = 9000
+    A = _banded_unstructured(n, 9, seed=2)
+    kern = build_sharded_stream(A, mesh, "rows", interpret=True,
+                                with_grad=True)
+    assert kern.apply_diff is not None and kern.h_tiles >= 1
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(n).astype(np.float32)
+    w = rng.standard_normal(n).astype(np.float32)
+    # weights in KERNEL (RCM) order on the padded layout
+    wk = np.zeros(kern.padded_len, np.float32)
+    wk[:n] = w[kern.perm] if kern.perm is not None else w
+    w3 = jnp.asarray(wk).reshape(-1, 8, 128)
+
+    x3 = kern.shard(kern.to_padded(x))
+
+    # forward parity with the non-diff apply
+    y_diff = kern.apply_diff(kern.diff_args, x3)
+    y_ref = kern.apply(kern.packs, x3)
+    np.testing.assert_allclose(np.asarray(y_diff), np.asarray(y_ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(x3):
+        return jnp.sum(w3 * kern.apply_diff(kern.diff_args, x3))
+
+    g = jax.grad(loss)(x3)
+    got = kern.from_padded(g)
+    want = A.T @ w
+    np.testing.assert_allclose(got, want, rtol=2e-4,
+                               atol=2e-4 * np.abs(want).max())
+
+
+def test_sharded_stream_vjp_vals_cotangent(mesh):
+    """Per-slot vals gradient == ybar[row] * x[col] (dense oracle),
+    accumulated back onto the (row, col) pattern."""
+    import jax.numpy as jnp
+
+    n = 6000
+    A = _banded_unstructured(n, 7, seed=4)
+    kern = build_sharded_stream(A, mesh, "rows", interpret=True,
+                                with_grad=True)
+    ndev = 8
+    t_loc = kern.t_global // ndev
+    R = t_loc * 1024
+    h = kern.h_tiles
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(n).astype(np.float32)
+    w = rng.standard_normal(n).astype(np.float32)
+    wk = np.zeros(kern.padded_len, np.float32)
+    wk[:n] = w[kern.perm] if kern.perm is not None else w
+    w3 = jnp.asarray(wk).reshape(-1, 8, 128)
+    x3 = kern.shard(kern.to_padded(x))
+
+    def loss(diff_args, x3):
+        return jnp.sum(w3 * kern.apply_diff(diff_args, x3))
+
+    cot = jax.grad(loss, allow_int=True)(kern.diff_args, x3)
+    dvals = np.asarray(cot[0][5])          # [ndev, n_units, 8, 128]
+    # only the fwd vals slot carries gradient; every float leaf besides
+    # it is zero (int layout leaves carry float0 tangents)
+    for c in cot[0][:5] + cot[1] + cot[2]:
+        a = np.asarray(c)
+        if a.dtype != object and a.dtype.names is None and a.size:
+            if np.issubdtype(a.dtype, np.floating):
+                assert float(np.abs(a).max()) == 0.0
+
+    # decode slots -> global (row, col); accumulate and compare to the
+    # dense oracle grad dL/dA_ij = wk[i] * xk[j] on the pattern
+    word = np.asarray(kern.packs[4])       # [ndev, n_units, 8, 128]
+    meta = np.asarray(kern.packs[2])
+    tou = np.asarray(kern.diff_args[2][0])
+    tws = np.asarray(kern.diff_args[2][1])
+    gmeta = np.asarray(kern.packs[3])
+    xk = np.zeros(kern.padded_len, np.float32)
+    xk[:n] = x[kern.perm] if kern.perm is not None else x
+
+    got = {}
+    n_units = word.shape[1]
+    for d in range(ndev):
+        wo = word[d]
+        sc = meta[d].reshape(n_units) & 0x7FFF
+        rg = gmeta[d].reshape(n_units, 8) & 7
+        rowl1 = (wo >> 18) & 255
+        m = (wo >> 7) & 7
+        lo = wo & 127
+        valid = rowl1 >= 1
+        row_l = tou[d][:, None, None] * 1024 + rg[:, :, None] * 128 \
+            + rowl1 - 1
+        col_l = (tws[d][tou[d]] + sc)[:, None, None] * 1024 + m * 128 + lo
+        row_g = d * R + row_l
+        col_g = d * R - h * 1024 + col_l
+        for u, s, l in zip(*np.nonzero(valid)):
+            key = (int(row_g[u, s, l]), int(col_g[u, s, l]))
+            got[key] = got.get(key, 0.0) + float(dvals[d, u, s, l])
+
+    # oracle over the RCM-permuted padded operator's real entries
+    from gnnla_tpu.ops.pallas_stream import rcm_csr
+    A2, _ = rcm_csr(A)
+    Ak = A2.tocoo()
+    checked = 0
+    for i, j in zip(Ak.row, Ak.col):
+        want = wk[i] * xk[j]
+        assert (i, j) in got, (i, j)
+        np.testing.assert_allclose(got[(i, j)], want, rtol=2e-4,
+                                   atol=2e-4)
+        checked += 1
+    assert checked == Ak.nnz
