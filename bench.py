@@ -219,17 +219,18 @@ def bench_spmv(n_grid: int, n_iters: int, extra: dict):
         log(f"hbm probe failed ({type(e).__name__}: {e}); "
             f"using physical 819 GB/s for rooflines")
 
-    # Per-byte write cost relative to reads, from the two probes: the
-    # 1:1 probe satisfies bw_rw = 2*bw_read/(1+alpha). Read-heavy kernels
-    # are then modelled as t = (R + alpha*W)/bw_read, which is what the
-    # 50/50 denominator of round 3 got wrong (frac 1.02 > 1).
-    alpha_w = max(1.0, 2.0 * bw_read / bw - 1.0)
+    # Roofline denominator: the PHYSICAL HBM bandwidth (819 GB/s on this
+    # v5e-class chip), i.e. true speed-of-light, so frac <= 1 by
+    # construction. Rounds 1-3 divided by the measured stream probe,
+    # which varies run to run (657 this round 556 GB/s) and can sit BELOW
+    # what the kernel itself sustains — that is where frac = 1.02-1.15
+    # "above roofline" came from. The probes stay recorded above as
+    # achievable-bandwidth diagnostics.
+    PHYS_BW = 819e9
 
     def roofline(eps, read_bytes_per_mv, write_bytes_per_mv):
-        if not bw_read:
-            return None
-        eff = read_bytes_per_mv + alpha_w * write_bytes_per_mv
-        return (eps / dia.nnz) * eff / bw_read
+        eff = read_bytes_per_mv + write_bytes_per_mv
+        return (eps / dia.nnz) * eff / PHYS_BW
 
     dia_eps = _bench(lambda d, x: d.matvec(x), dia, x0, dia.nnz, n_iters,
                      n_chain=5)
@@ -886,12 +887,34 @@ def bench_diffusion(extra: dict, n_agg: int = 1024):
         f"{extra['diffusion_edges_per_s']:.2e} edge-visits/s)")
 
 
+def bench_sharded(extra: dict):
+    """Mosaic-compile the SHARDED kernel bodies on the real chip (VERDICT
+    r3 item 4): a 1-device mesh with a forced halo tile, so the compiled
+    program is the exact multichip one (collective-permute HLO included)
+    with interpret=False — parity asserted against host oracles inside
+    `run_sharded_hardware_check`."""
+    from gnnla_tpu.parallel.hardware_check import run_sharded_hardware_check
+
+    out = run_sharded_hardware_check(interpret=False)
+    extra["sharded_mosaic_ok"] = 1
+    extra["sharded_stream_edges_per_s"] = out["stream_spmv_edges_per_s"]
+    extra["sharded_stream_spmv_rel_err"] = out["stream_spmv_rel_err"]
+    extra["sharded_stream_vjp_x_rel_err"] = out["stream_vjp_x_rel_err"]
+    extra["sharded_vcycle_rel_err"] = out["stream_vcycle_rel_err"]
+    extra["sharded_stencil_rel_err"] = out["stencil_rel_err"]
+    log(f"sharded/mosaic:  ok on {out['platform']} ndev={out['ndev']} — "
+        f"stream {out['stream_spmv_edges_per_s']:.2e} edges/s "
+        f"(tiny fixture, dispatch-bound; correctness stanza), "
+        f"vjp err {out['stream_vjp_x_rel_err']:.1e}, "
+        f"vcycle err {out['stream_vcycle_rel_err']:.1e}")
+
+
 def main():
     n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     sections = os.environ.get("GNNLA_BENCH_SECTIONS",
                               "spmv,general,solvers,train,diffusion,"
-                              "convergence").split(",")
+                              "convergence,sharded").split(",")
 
     attempt = int(os.environ.get("GNNLA_BENCH_ATTEMPT", "0"))
     try:
@@ -954,6 +977,12 @@ def main():
             bench_convergence(n_grid, extra)
         except Exception as e:
             log(f"[convergence] FAILED: {type(e).__name__}: {e}")
+    if "sharded" in sections:
+        try:
+            bench_sharded(extra)
+        except Exception as e:
+            extra["sharded_mosaic_ok"] = 0
+            log(f"[sharded] FAILED: {type(e).__name__}: {e}")
 
     if cpu is None:
         cpu = extra.get("general_graph_cpu_edges_per_s", 1.0)

@@ -146,7 +146,8 @@ def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
                          reorder: bool = True, nb: int = 32,
                          kb: Optional[int] = None,
                          interpret: bool = False,
-                         with_grad: bool = False) -> ShardedStreamSpMV:
+                         with_grad: bool = False,
+                         min_halo_tiles: int = 0) -> ShardedStreamSpMV:
     """Build the sharded stream kernel from a SparseOperator (host setup).
 
     Row blocks are contiguous ranges of the (RCM-ordered) operator, one
@@ -170,7 +171,11 @@ def build_sharded_stream(op, mesh: Mesh, axis: str = "rows", *,
     R = N // ndev
     t_loc = R // TILE
 
-    h = _shard_halo_tiles(A, ndev, R)
+    # min_halo_tiles > 0 forces the halo-exchange path (concat + ring
+    # ppermute) even when the matrix needs none — e.g. a 1-device mesh on
+    # real hardware, where the self-permute still emits a collective-permute
+    # HLO so Mosaic compiles the exact multichip program (hardware_check)
+    h = max(_shard_halo_tiles(A, ndev, R), min_halo_tiles)
     if h > t_loc:  # h == t_loc is the whole neighbor block — still ring
         raise ValueError(
             f"halo reach {h} tiles >= {t_loc}-tile shard: RCM bandwidth too "
