@@ -56,3 +56,30 @@ def grid_mesh(shape: Sequence[int],
         raise ValueError(f"mesh shape {tuple(shape)} needs "
                          f"{int(np.prod(shape))} devices, have {devs.size}")
     return Mesh(devs.reshape(tuple(shape)), axis_names=tuple(axis_names))
+
+
+def to_global(tree, mesh: Mesh, axis: str = "rows"):
+    """Host-replicated pytree -> global `jax.Array`s sharded on axis 0.
+
+    The multi-host data path: every process constructs the same full host
+    arrays deterministically (the setup phase is host numpy throughout this
+    package), then each process materialises only its *addressable* shards
+    via `jax.make_array_from_callback`. Under a single process this
+    degrades to a plain `device_put` with the same sharding, so the
+    identical worker code runs in CI and on a pod.
+
+    Leading-axis size must equal the mesh axis size for sharded leaves
+    (`PartitionedOperator` built with ``n_shards = mesh.shape[axis]`` and
+    `[S, R]` vectors from `shard_vector` already satisfy this); 0-d leaves
+    are replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def leaf(a):
+        a = np.asarray(a)
+        spec = P(axis, *([None] * (a.ndim - 1))) if a.ndim else P()
+        sharding = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx, a=a: a[idx])
+
+    return jax.tree.map(leaf, tree)

@@ -175,6 +175,152 @@ def make_sharded_vcycle(setup: TwoGridSetup, mesh: Mesh,
     return cycle, part
 
 
+def make_sharded_multigrid_cycle(setup, mesh: Mesh, axis: str = "rows", *,
+                                 n_pre: int = 3, n_post: int = 3,
+                                 omega: float = 0.7, coarse_deg: int = 8,
+                                 gamma: int = 1,
+                                 min_sharded_rows: int = 32768,
+                                 n_sharded_levels: int | None = None):
+    """Distributed *multilevel* V/W-cycle: the finest K levels run
+    row-sharded (halo `ppermute` smoothing, `psum` restriction), the
+    coarse tail runs the replicated `multigrid_cycle` recursion.
+
+    The completion of `make_sharded_vcycle` for real hierarchies
+    (`setup_multigrid` / `setup_sa_multigrid`): with ~4x coarsening the
+    finest levels carry nearly all the work, so sharding levels down to
+    `min_sharded_rows` rows captures the parallel fraction while the tiny
+    tail is computed redundantly on every device (redundant compute beats
+    communicating it — same call as the two-grid coarse solve).
+
+    Level-i+1 hand-off when both levels are sharded: the psum-replicated
+    coarse residual is sliced back to this shard's row block
+    (`dynamic_slice` at `axis_index`), recursed on, and the correction is
+    `all_gather`ed for the shard-local prolongation rows.
+
+    Returns (cycle_fn, part0): cycle_fn(b_sh, x_sh) advances one cycle on
+    `[S, R]` vectors sharded by `part0` (build with
+    `shard_vector(v, part0)`). Numerics match the single-device
+    `multigrid_cycle` on the same setup (fp32 reassociation only). No
+    reference counterpart — the reference is single-device and two-grid
+    (SURVEY.md §2.5, pytorch/VCycle.py:175-237).
+    """
+    from gnnla_tpu.models.multigrid import MultigridSetup, multigrid_cycle
+    from gnnla_tpu.parallel.partition import shard_vector
+
+    L = setup.n_levels
+    for A in setup.As:
+        if not isinstance(A, SparseOperator):
+            raise ValueError(
+                "make_sharded_multigrid_cycle needs COO operators on every "
+                "level (build with setup_multigrid/setup_sa_multigrid, "
+                "without the DIA swap)")
+    ndev = int(mesh.shape[axis])
+
+    if n_sharded_levels is None:
+        K = 0
+        for A in setup.As[: L - 1]:
+            if A.n_rows >= min_sharded_rows:
+                K += 1
+            else:
+                break
+        K = max(K, 1)
+    else:
+        K = int(n_sharded_levels)
+    K = max(1, min(K, L - 1))
+
+    parts = tuple(partition_rows(setup.As[i], ndev) for i in range(K))
+    part_ps = tuple(
+        partition_rows_rect(setup.Ps[i], ndev, parts[i].rows_per_shard)
+        for i in range(K))
+    d_blocks = tuple(shard_vector(setup.diags[i], parts[i])
+                     for i in range(K))
+    tail = MultigridSetup(As=setup.As[K:], Ps=setup.Ps[K:],
+                          diags=setup.diags[K:], coarse_c=setup.coarse_c,
+                          coarse_d=setup.coarse_d)
+
+    # static per-level facts (halo geometry, block sizes, coarse dims)
+    lev = [(p.halo, p.halo_reach <= 1, p.rows_per_shard) for p in parts]
+    ncs = [setup.As[i + 1].n_rows for i in range(K)]
+
+    def body(parts_a, pps_a, dbs_a, tail_s, b, x):
+        # strip the sliced-off leading shard axis from every array leaf
+        parts_l = jax.tree.map(lambda a: a[0], parts_a)
+        pps_l = jax.tree.map(lambda a: a[0], pps_a)
+        dbs_l = jax.tree.map(lambda a: a[0], dbs_a)
+        b, x = b[0], x[0]
+
+        def spmv(i, x_local):
+            part = parts_l[i]
+            halo, use_halo, rps = lev[i]
+            if use_halo:
+                x_ext = _halo_exchange(x_local, halo, axis)
+                prod = jnp.where(part.mask,
+                                 part.vals * x_ext[part.cols_ext], 0.0)
+            else:
+                x_full = jax.lax.all_gather(x_local, axis, tiled=True)
+                prod = jnp.where(part.mask,
+                                 part.vals * x_full[part.cols_global], 0.0)
+            return segment_sum(prod, part.rows_local, rps, is_sorted=True)
+
+        def cycle(i, b, x):
+            pp, d = pps_l[i], dbs_l[i]
+            rps = lev[i][2]
+            d_safe = jnp.where(d == 0, jnp.ones_like(d), d)
+
+            def smooth(x, n_iters):
+                def step(x, _):
+                    return x + omega * (b - spmv(i, x)) / d_safe, None
+                x, _ = jax.lax.scan(step, x, None, length=n_iters)
+                return x
+
+            x = smooth(x, n_pre)
+            nc = ncs[i]
+            for _ in range(gamma):
+                # restriction: rc = P^T r, psum-replicated across shards
+                r = b - spmv(i, x)
+                rc_part = segment_sum(
+                    jnp.where(pp.mask, pp.vals * r[pp.rows_local], 0.0),
+                    pp.cols_global, nc)
+                rc = jax.lax.psum(rc_part, axis)
+
+                if i + 1 < K:
+                    rps_c = lev[i + 1][2]
+                    idx = jax.lax.axis_index(axis)
+                    rc_pad = jnp.pad(rc, (0, rps_c * ndev - nc))
+                    rc_loc = jax.lax.dynamic_slice(rc_pad, (idx * rps_c,),
+                                                   (rps_c,))
+                    xc_loc = cycle(i + 1, rc_loc, jnp.zeros_like(rc_loc))
+                    xc = jax.lax.all_gather(xc_loc, axis, tiled=True)[:nc]
+                else:
+                    xc = multigrid_cycle(tail_s, rc, jnp.zeros_like(rc),
+                                         n_pre=n_pre, n_post=n_post,
+                                         omega=omega, coarse_deg=coarse_deg,
+                                         gamma=gamma)
+
+                # prolongation: shard-local rows of P against replicated xc
+                x = x + segment_sum(
+                    jnp.where(pp.mask, pp.vals * xc[pp.cols_global], 0.0),
+                    pp.rows_local, rps, is_sorted=True)
+            return smooth(x, n_post)
+
+        return cycle(0, b, x)[None]
+
+    spec = P(axis)
+    repl = P(None)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec, spec, spec, repl, spec, spec),
+                   out_specs=spec, check_vma=False)
+
+    @jax.jit
+    def jrun(parts_a, pps_a, dbs_a, tail_s, b, x):
+        return fn(parts_a, pps_a, dbs_a, tail_s, b, x)
+
+    def cycle_fn(b_sharded, x_sharded):
+        return jrun(parts, part_ps, d_blocks, tail, b_sharded, x_sharded)
+
+    return cycle_fn, parts[0]
+
+
 def make_sharded_stream_vcycle(setup: TwoGridSetup, mesh: Mesh,
                                axis: str = "rows", *, n_pre: int = 3,
                                n_post: int = 3, omega: float = 0.7,

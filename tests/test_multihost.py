@@ -1,0 +1,73 @@
+"""Real multi-process `jax.distributed` validation (SURVEY.md §2.5).
+
+Spawns 2 OS processes x 4 forced-host CPU devices each, connected through
+a coordination service on localhost — the same bring-up a TPU pod uses
+(one process per host, `jax.distributed.initialize`, one global mesh).
+The workers run the row-sharded SpMV (halo `ppermute` crossing the
+process boundary) and the sharded power method (`psum` spanning all 8
+devices) and assert parity against a host reference; see
+tests/multihost_worker.py.
+
+Real multi-chip hardware is not available in this environment (1 TPU
+chip); this is the strongest available validation of the multi-host
+layer: actual multi-process SPMD with cross-process collectives, not the
+single-process 8-device simulation the rest of the suite uses.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+NPROC = 2
+_TIMEOUT_S = 600
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_spmv_and_powermethod(tmp_path):
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    coordinator = f"127.0.0.1:{_free_port()}"
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count (4)
+    env.setdefault("TPU_SKIP_MDS_QUERY", "1")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), str(NPROC), coordinator,
+             str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(NPROC)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=_TIMEOUT_S)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"worker {pid} rc={p.returncode}\n--- output ---\n{out[-4000:]}")
+
+    for pid in range(NPROC):
+        with open(tmp_path / f"ok_{pid}.json") as f:
+            res = json.load(f)
+        assert res["n_devices"] == 4 * NPROC
+        assert res["lam_err"] < 5e-3

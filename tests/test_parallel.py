@@ -241,3 +241,68 @@ def test_stencil_scaling_model():
             for d in (1, 2, 4, 8, 16)]
     assert all(a >= b for a, b in zip(effs, effs[1:]))
     assert m["comm_bytes_per_chip"] == 2 * 1 * 2048 * 4
+
+
+# ------------------------------------------- sharded multilevel V/W-cycle
+@pytest.mark.parametrize("gamma", [1, 2])
+def test_sharded_multigrid_cycle_matches_single_device(mesh, rng, gamma):
+    """The distributed multilevel cycle (2 sharded levels + replicated
+    tail) reproduces the single-device `multigrid_cycle`."""
+    from gnnla_tpu.models.multigrid import multigrid_cycle, setup_sa_multigrid
+    from gnnla_tpu.parallel import make_sharded_multigrid_cycle
+
+    A = laplacian_2d(48)  # 2304 rows; SA gives a >=3-level hierarchy
+    setup = setup_sa_multigrid(A, min_coarse=16)
+    assert setup.n_levels >= 3
+
+    b = jnp.asarray(rng.random(A.n_rows), jnp.float32)
+    x0 = jnp.asarray(rng.random(A.n_rows), jnp.float32)
+
+    cycle, part = make_sharded_multigrid_cycle(
+        setup, mesh, n_pre=2, n_post=2, coarse_deg=4, gamma=gamma,
+        n_sharded_levels=2)
+    bs = device_put_sharded(shard_vector(b, part), mesh)
+    xs = device_put_sharded(shard_vector(x0, part), mesh)
+
+    out = cycle(bs, xs)
+    x_ref = multigrid_cycle(setup, b, x0, n_pre=2, n_post=2, coarse_deg=4,
+                            gamma=gamma)
+    np.testing.assert_allclose(unshard_vector(out, part),
+                               np.asarray(x_ref), rtol=1e-4, atol=1e-5)
+
+    # chained distributed cycles keep matching (and converge)
+    xs2, x_ref2 = out, x_ref
+    for _ in range(2):
+        xs2 = cycle(bs, xs2)
+        x_ref2 = multigrid_cycle(setup, b, x_ref2, n_pre=2, n_post=2,
+                                 coarse_deg=4, gamma=gamma)
+    np.testing.assert_allclose(unshard_vector(xs2, part),
+                               np.asarray(x_ref2), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_multigrid_cycle_auto_depth_and_guards(mesh, rng):
+    """Auto level selection shards at least the finest level, and the
+    DIA-swapped hierarchy is rejected loudly."""
+    from gnnla_tpu.models.multigrid import (multigrid_solve,
+                                            setup_sa_multigrid,
+                                            setup_with_dia_multigrid)
+    from gnnla_tpu.parallel import make_sharded_multigrid_cycle
+
+    A = laplacian_2d(32)
+    setup = setup_sa_multigrid(A, min_coarse=16)
+
+    # tiny problem -> auto K = 1 (finest level only)
+    cycle, part = make_sharded_multigrid_cycle(setup, mesh, n_pre=1,
+                                               n_post=1, coarse_deg=4)
+    b = jnp.asarray(rng.random(A.n_rows), jnp.float32)
+    bs = device_put_sharded(shard_vector(b, part), mesh)
+    xs = device_put_sharded(shard_vector(jnp.zeros(A.n_rows), part), mesh)
+    for _ in range(4):
+        xs = cycle(bs, xs)
+    x_ref = multigrid_solve(setup, b, jnp.zeros(A.n_rows), n_cycles=4,
+                            n_pre=1, n_post=1, coarse_deg=4)
+    np.testing.assert_allclose(unshard_vector(xs, part), np.asarray(x_ref),
+                               rtol=1e-3, atol=1e-4)
+
+    with pytest.raises(ValueError, match="COO operators"):
+        make_sharded_multigrid_cycle(setup_with_dia_multigrid(setup), mesh)
