@@ -656,8 +656,8 @@ def bench_train(extra: dict):
 
     from gnnla_tpu.models.trainable_jacobi import TrainableJacobiMLP
     from gnnla_tpu.training.datasets import small_band_dataset
-    from gnnla_tpu.training.train_jacobi import (make_loss_fn, matrix_stack,
-                                                 _draw_probes)
+    from gnnla_tpu.training.train_jacobi import (feature_stack, make_loss_fn,
+                                                 matrix_stack, _draw_probes)
     import optax
 
     t0 = time.perf_counter()
@@ -669,7 +669,7 @@ def bench_train(extra: dict):
     tx = optax.adam(1e-2)
     rng = np.random.default_rng(0)
     probes = _draw_probes(ds, range(ds.n_graphs), 20, rng)
-    base_args = (jnp.asarray(ds.offdiag_vals, jnp.float32),
+    base_args = (jnp.asarray(feature_stack(ds), jnp.float32),
                  jnp.asarray(ds.diags, jnp.float32),
                  jnp.asarray(probes, jnp.float32))
 
@@ -829,11 +829,34 @@ def bench_diffusion(extra: dict, n_agg: int = 1024):
     log(f"4-way agg dense: {dense_eps:.3e} edges/s "
         f"({dense_eps / seg_eps:.1f}x the segment path {seg_eps:.2e})")
 
+    # band layout (ops/band.py) — the production path of the learned
+    # models: edge values live in [K, N] band order end to end (host pack
+    # at setup), so the 4-way reduction is a masked axis reduction with
+    # ZERO gathers; the chain folds the vertex output back by broadcast.
+    from gnnla_tpu.ops.band import BandLayout, band_multi_reduce
+
+    blay = BandLayout(op)
+    bands0 = jnp.asarray(blay.pack(np.asarray(v0)), jnp.float32)
+    bmask = jnp.asarray(blay.mask)
+    bdeg = jnp.asarray(np.maximum(blay.deg, 1), jnp.float32)
+
+    def agg_band(args, bands):
+        bmask, bdeg = args
+        out = band_multi_reduce(AGGS, bands, bmask, bdeg)   # [N, 4]
+        return bands * 0.999 + 1e-6 * out.sum(axis=1)[None, :]
+
+    band_eps = _bench(agg_band, (bmask, bdeg), bands0, E, 200, n_chain=10)
+    extra["agg4_band_edges_per_s"] = band_eps
+    extra["agg4_band_speedup"] = band_eps / seg_eps
+    log(f"4-way agg band:  {band_eps:.3e} edges/s "
+        f"({band_eps / seg_eps:.0f}x the segment path; zero-gather)")
+
     # ---- full diffusion train step --------------------------------------
     from gnnla_tpu.models.diffusion_gnn import DiffusionGNN
     from gnnla_tpu.training.datasets import cosine_diffusion_dataset
     from gnnla_tpu.training.train_diffusion import (edge_features,
-                                                    loss_terms, make_apply)
+                                                    loss_terms, make_apply,
+                                                    make_apply_banded)
 
     # reference scale on the real chip; small twin for CPU smoke runs
     B, n_mesh = (16, 80) if n_agg >= 512 else (4, 16)
@@ -845,7 +868,8 @@ def bench_diffusion(extra: dict, n_agg: int = 1024):
     rel = edge_features(ds, n_mesh)
     model = DiffusionGNN(n_layers_external=1, n_layers_internal=2,
                          n_hidden=32, encoder=(3, 16))
-    apply_b = make_apply(model, ds, rel)
+    apply_b, band_pack = make_apply_banded(model, ds, rel)  # train path
+    apply_edge = make_apply(model, ds, rel)                 # comparison
     from gnnla_tpu.core import GraphState
     e0 = jnp.concatenate(
         [jnp.asarray(ds.offdiag_vals[0], jnp.float32)[:, None],
@@ -865,7 +889,7 @@ def bench_diffusion(extra: dict, n_agg: int = 1024):
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    args = (jnp.asarray(ds.offdiag_vals, jnp.float32),
+    args = (jnp.asarray(band_pack(ds.offdiag_vals), jnp.float32),
             jnp.asarray(ds.diags, jnp.float32),
             jnp.asarray(ds.globals_, jnp.float32),
             jnp.asarray(ds.targets, jnp.float32))
@@ -884,7 +908,31 @@ def bench_diffusion(extra: dict, n_agg: int = 1024):
     extra["diffusion_edges_per_s"] = B * ds.template_nodiag.nnz / (dt /
                                                                    n_steps)
     log(f"diffusion step:  {ms:.1f} ms (batch {B}, n={n_mesh}, loss {fl:.4f}, "
-        f"{extra['diffusion_edges_per_s']:.2e} edge-visits/s)")
+        f"{extra['diffusion_edges_per_s']:.2e} edge-visits/s; band layout)")
+
+    # edge-order twin of the same step, for the layout speedup record
+    def loss_fn_e(params, ov, d, g, y):
+        return loss_terms(apply_edge(params, ov, d, g), y)
+
+    @jax.jit
+    def step_e(params, opt_state, ov, d, g, y):
+        loss, grads = jax.value_and_grad(loss_fn_e)(params, ov, d, g, y)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    args_e = (jnp.asarray(ds.offdiag_vals, jnp.float32),) + args[1:]
+    opt_state = tx.init(params)
+    params, opt_state, loss = step_e(params, opt_state, *args_e)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step_e(params, opt_state, *args_e)
+    float(loss)
+    ms_e = (time.perf_counter() - t0) / n_steps * 1e3
+    extra["diffusion_step_edge_ms"] = ms_e
+    extra["diffusion_band_speedup"] = ms_e / ms
+    log(f"diffusion step (edge-order twin): {ms_e:.1f} ms "
+        f"(band layout = {ms_e / ms:.1f}x faster)")
 
 
 def bench_sharded(extra: dict):

@@ -29,6 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from gnnla_tpu.core import GNBlock, GraphBatch, GraphState
+from gnnla_tpu.ops.band import (BandPattern, band_broadcast,
+                                band_global_multi, band_multi_reduce,
+                                band_neighbor_values)
 from gnnla_tpu.ops.sparse import SparseOperator
 
 Array = jax.Array
@@ -95,9 +98,49 @@ class DiffusionGNN(nn.Module):
         return GNBlock(edge_fn=edge_fn, vertex_fn=vertex_fn,
                        global_fn=global_fn if with_global else None)
 
+    def _band_gn_apply(self, tag: str, internal: int, e_out: int,
+                       v_out: int, g_out: int, with_global: bool,
+                       pat: BandPattern, v: Array, e: Array,
+                       g: Array) -> Tuple[Array, Array, Array]:
+        """One GN layer on the band layout (zero gathers; ops/band.py):
+        v_i is a broadcast, v_j a shift, e->v the masked band reduction,
+        e->g/v->g whole-array masked reductions. Same module names as
+        `_gn_layer`, so one parameter tree serves both execution paths
+        (parity-tested in tests/test_training.py)."""
+        edge_mlp = MLPStack(internal, self.n_hidden, e_out,
+                            name=f"{tag}_edge")
+        vertex_mlp = MLPStack(internal, self.n_hidden, v_out,
+                              name=f"{tag}_vertex")
+        global_mlp = (MLPStack(internal, self.n_hidden, g_out,
+                               name=f"{tag}_global") if with_global else None)
+
+        m3 = pat.mask[:, :, None]
+        v_i = band_broadcast(v, pat.k)                 # dst (row) values
+        v_j = band_neighbor_values(v, pat.offsets)     # src (col) values
+        g_e = jnp.broadcast_to(g, e.shape[:2] + (g.shape[-1],))
+        e = edge_mlp(jnp.concatenate([v_i, v_j, e, g_e], axis=-1))
+        e = jnp.where(m3, e, 0.0)                      # keep pad slots 0
+
+        ebar = band_multi_reduce(_AGGS, e, pat.mask, pat.deg)
+        g_v = jnp.broadcast_to(g, (v.shape[0], g.shape[-1]))
+        v = vertex_mlp(jnp.concatenate([v, ebar, g_v], axis=-1))
+
+        if global_mlp is not None:
+            ebar_g = band_global_multi(_AGGS, e, pat.mask, pat.n_edges)
+            vbar_g = jnp.concatenate(
+                [jnp.min(v, axis=0), jnp.mean(v, axis=0),
+                 jnp.sum(v, axis=0), jnp.max(v, axis=0)], axis=-1)
+            g = global_mlp(jnp.concatenate([g[None], ebar_g[None],
+                                            vbar_g[None]], axis=1))[0]
+        return v, e, g
+
     @nn.compact
-    def __call__(self, op: SparseOperator, state: GraphState,
+    def __call__(self, op, state: GraphState,
                  batch: Optional[GraphBatch] = None) -> Array:
+        """op: `SparseOperator` (edge-order path via the GNBlock engine) or
+        `ops.band.BandPattern` (band-layout path — state.edges must then be
+        [K, N, Fe]). Both paths share one parameter tree."""
+        banded = isinstance(op, BandPattern)
         v_out_final = self.n_out_vertex
         if self.decoder is not None:
             v_out_final = self.n_hidden
@@ -108,8 +151,11 @@ class DiffusionGNN(nn.Module):
             ve = MLPStack(enc_l, enc_h, self.n_hidden, name="enc_vertex")
             ee = MLPStack(enc_l, enc_h, self.n_hidden, name="enc_edge")
             ge = MLPStack(enc_l, enc_h, self.n_hidden, name="enc_global")
+            edges_enc = ee(state.edges)
+            if banded:  # re-zero pad slots (the lift has a bias)
+                edges_enc = jnp.where(op.mask[:, :, None], edges_enc, 0.0)
             state = state.replace(vertices=ve(state.vertices),
-                                  edges=ee(state.edges),
+                                  edges=edges_enc,
                                   globals_=ge(state.globals_))
 
         # ---- core GN blocks ----------------------------------------------
@@ -118,11 +164,19 @@ class DiffusionGNN(nn.Module):
             last = li == n_ext - 1
             only = n_ext == 1
             v_out = v_out_final if last else self.n_hidden
-            block = self._gn_layer(f"gn{li}", self.n_layers_internal,
-                                   e_out=self.n_hidden, v_out=v_out,
-                                   g_out=self.n_hidden,
-                                   with_global=not only)
-            state = block(op, state, batch)
+            if banded:
+                v, e, g = self._band_gn_apply(
+                    f"gn{li}", self.n_layers_internal,
+                    e_out=self.n_hidden, v_out=v_out, g_out=self.n_hidden,
+                    with_global=not only, pat=op, v=state.vertices,
+                    e=state.edges, g=state.globals_)
+                state = state.replace(vertices=v, edges=e, globals_=g)
+            else:
+                block = self._gn_layer(f"gn{li}", self.n_layers_internal,
+                                       e_out=self.n_hidden, v_out=v_out,
+                                       g_out=self.n_hidden,
+                                       with_global=not only)
+                state = block(op, state, batch)
 
         # ---- decoder ------------------------------------------------------
         if self.decoder is not None:

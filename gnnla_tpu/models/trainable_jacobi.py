@@ -41,6 +41,23 @@ def jacobi_diag_features(op_nodiag: SparseOperator, diag: Array) -> Array:
     return jnp.concatenate([jnp.ravel(diag)[:, None], aggregated], axis=1)
 
 
+def jacobi_diag_features_banded(diag: Array, band_ov: Array, mask: Array,
+                                deg: Array) -> Array:
+    """`jacobi_diag_features` on the zero-gather band layout (ops/band.py).
+
+    band_ov [K, N] = off-diagonal values packed by `BandLayout.pack` (host,
+    at setup); mask [K, N], deg [N] from the same layout. Numerics are
+    identical to the edge path (tests/test_band.py, tests/test_training.py
+    parity); this is the production path of `training.train_jacobi` — the
+    whole train step touches no edge-order device array.
+    """
+    from gnnla_tpu.ops.band import band_multi_reduce
+
+    aggregated = band_multi_reduce(("min", "mean", "sum", "max"),
+                                   band_ov, mask, deg)
+    return jnp.concatenate([jnp.ravel(diag)[:, None], aggregated], axis=1)
+
+
 def _reference_init_w(key, shape, dtype=jnp.float32):
     """U[0,1) weight init (TrainableJacobiGNN.py:107-111)."""
     return jax.random.uniform(key, shape, dtype, 0.0, 1.0)

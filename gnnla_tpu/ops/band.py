@@ -1,0 +1,234 @@
+"""Band-layout edge storage: the zero-gather aggregation path.
+
+The learned models' hot op is the 4-way (min, mean, sum, max) edge->vertex
+aggregation (reference TrainableJacobiGNN.py:65-68,
+LearnDiffusionCoeffs.py:303-341, executed there by torch_scatter). On TPU
+*any* per-element gather/scatter runs at ~7e7 elem/s (measured, bench.py
+`agg4_segment_edges_per_s` / round-3 `coo_segment_edges_per_s`) — two
+orders of magnitude under HBM bandwidth — so both the scatter segment path
+and the padded-row gather path (`ops.segment.DenseRowLayout`) are
+gather-bound.
+
+The fix is a *layout*, not a kernel: store edge data in DIA band form
+`bands[k, i] = e(i, i + off_k)` (the same [K, N] layout `ops.dia` uses for
+operator values). Then
+
+  * every reduction over a row's edges is a masked reduction over axis 0 —
+    pure streaming reads, VPU reductions, zero gathers;
+  * the source-vertex value of every edge is a contiguous *shift* of x
+    (`band_neighbor_values`), the destination-vertex value is a broadcast;
+  * edge-wise MLPs apply elementwise on [K, N, F] exactly as on [E, F].
+
+Packing [E] -> [K, N] happens ON THE HOST at setup time (numpy; every
+sparsity pattern here is fixed), so the device never sees edge order at
+all. Non-banded patterns keep the segment/dense-row twins — every FEM
+family in the reference is banded (possibly with periodic wrap offsets,
+which are just additional bands).
+
+Semantics match `ops.segment` / torch_scatter exactly: empty rows fill
+with 0, mean divides by max(degree, 1). Parity-tested in
+tests/test_band.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnnla_tpu.ops.sparse import SparseOperator
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BandPattern:
+    """Jit-side view of a `BandLayout`: what a GN block needs to run
+    band-native (mask/deg as pytree leaves, offsets static)."""
+
+    mask: Array    # [K, N] bool
+    deg: Array     # [N] float, clamped >= 1
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return len(self.offsets)
+
+    @classmethod
+    def from_layout(cls, lay: "BandLayout") -> "BandPattern":
+        return cls(mask=jnp.asarray(lay.mask),
+                   deg=jnp.asarray(np.maximum(lay.deg, 1), jnp.float32),
+                   offsets=lay.offsets, n_edges=lay.n_edges)
+
+    @classmethod
+    def from_operator(cls, op: SparseOperator) -> "BandPattern":
+        return cls.from_layout(BandLayout(op))
+
+
+class BandLayout:
+    """Host-side band layout of a fixed sparsity pattern.
+
+    Built once from host COO; `pack` shuffles edge-order value arrays into
+    [K, N] band order with numpy (free at setup time). The jit-side
+    consumers (`band_multi_reduce`, `band_neighbor_values`) take the
+    packed arrays plus `mask`/`deg` as explicit arguments so callers
+    control whether they ride as jit arguments (large patterns) or trace
+    constants (small training buckets).
+    """
+
+    __slots__ = ("offsets", "mask", "deg", "n", "k", "n_edges",
+                 "_band_of_edge", "_col_of_edge")
+
+    def __init__(self, op: SparseOperator):
+        rows, cols, _ = op.host_coo()
+        n = op.n_rows
+        offs = cols.astype(np.int64) - rows.astype(np.int64)
+        uniq = np.unique(offs) if offs.size else np.zeros(1, np.int64)
+        k = int(uniq.size)
+        band_of_edge = np.searchsorted(uniq, offs).astype(np.int64)
+        mask = np.zeros((k, n), bool)
+        mask[band_of_edge, rows] = True
+        if int(mask.sum()) != rows.size:
+            raise ValueError("duplicate edges: coalesce the operator "
+                             "before building a BandLayout")
+        self.offsets: Tuple[int, ...] = tuple(int(o) for o in uniq)
+        self.mask = mask
+        self.deg = np.bincount(rows, minlength=n).astype(np.int32)
+        self.n = int(n)
+        self.k = k
+        self.n_edges = int(rows.size)
+        self._band_of_edge = band_of_edge
+        self._col_of_edge = rows.astype(np.int64)
+
+    # ------------------------------------------------------------- host
+    def pack(self, vals: np.ndarray) -> np.ndarray:
+        """[..., E] edge-order host values -> [..., K, N] band order.
+
+        Pad slots (mask False) are zero.
+        """
+        vals = np.asarray(vals)
+        if vals.shape[-1] != self.n_edges:
+            raise ValueError(f"pack: last axis {vals.shape[-1]} != "
+                             f"n_edges {self.n_edges}")
+        out = np.zeros(vals.shape[:-1] + (self.k, self.n), vals.dtype)
+        out[..., self._band_of_edge, self._col_of_edge] = vals
+        return out
+
+    def unpack(self, bands: np.ndarray) -> np.ndarray:
+        """[..., K, N] band order -> [..., E] edge order (host)."""
+        bands = np.asarray(bands)
+        return bands[..., self._band_of_edge, self._col_of_edge]
+
+
+def band_shift(x: Array, off: int) -> Array:
+    """Value of x at index i + off, 0 outside [0, n) — the band-k source
+    read (`ops.dia.DIAOperator.matvec`'s shift, exposed for GN blocks).
+
+    x may be [N] or [N, F]; shifts along axis 0.
+    """
+    if off == 0:
+        return x
+    n = x.shape[0]
+    zero_shape = (min(abs(off), n),) + x.shape[1:]
+    z = jnp.zeros(zero_shape, x.dtype)
+    if off > 0:
+        return jnp.concatenate([x[off:], z], axis=0) if off < n else \
+            jnp.zeros_like(x)
+    o = -off
+    return jnp.concatenate([z, x[:n - o]], axis=0) if o < n else \
+        jnp.zeros_like(x)
+
+
+def band_neighbor_values(x: Array, offsets: Sequence[int]) -> Array:
+    """Source-vertex values per band: out[k, i] = x[i + off_k] (0 outside).
+
+    The gather-free x[cols] : [N] or [N, F] -> [K, N] or [K, N, F].
+    """
+    return jnp.stack([band_shift(x, o) for o in offsets], axis=0)
+
+
+def band_broadcast(y: Array, k: int) -> Array:
+    """Destination-vertex values per band: out[k, i] = y[i].
+
+    [N] or [N, F] -> [K, N] or [K, N, F].
+    """
+    return jnp.broadcast_to(y[None], (k,) + y.shape)
+
+
+def band_multi_reduce(reduces: Sequence[str], bands: Array, mask: Array,
+                      deg: Array) -> Array:
+    """Concatenated masked reductions over the band axis.
+
+    bands : [K, N] or [K, N, F] (pad slots may hold anything)
+    mask  : [K, N] bool (True on real edges)
+    deg   : [N] float (row degree; clamped to >= 1 internally)
+    returns [N, len(reduces) * F] (F = 1 for 2-d input), matching
+    `ops.segment.multi_segment_reduce` semantics (empty rows -> 0).
+    """
+    b3 = bands if bands.ndim == 3 else bands[:, :, None]
+    m3 = mask[:, :, None]
+    outs = []
+    s = None
+    for r in reduces:
+        if r in ("sum", "mean"):
+            if s is None:
+                s = jnp.sum(jnp.where(m3, b3, 0.0), axis=0)
+            outs.append(s if r == "sum"
+                        else s / jnp.maximum(deg, 1)[:, None])
+        elif r == "max":
+            out = jnp.max(jnp.where(m3, b3, -jnp.inf), axis=0)
+            outs.append(jnp.where(jnp.isneginf(out),
+                                  jnp.zeros_like(out), out))
+        elif r == "min":
+            out = jnp.min(jnp.where(m3, b3, jnp.inf), axis=0)
+            outs.append(jnp.where(jnp.isposinf(out),
+                                  jnp.zeros_like(out), out))
+        else:
+            raise ValueError(f"unknown reducer {r!r}")
+    return jnp.concatenate(outs, axis=-1)
+
+
+def band_global_multi(reduces: Sequence[str], bands: Array, mask: Array,
+                      n_edges: int) -> Array:
+    """Whole-graph edge aggregation (rho^{e->g}) in band layout.
+
+    [K, N, F] -> [len(reduces) * F], matching the single-graph
+    `core.block.NodeAggregator` semantics (mean divides by the real edge
+    count).
+    """
+    b3 = bands if bands.ndim == 3 else bands[:, :, None]
+    m3 = mask[:, :, None]
+    outs = []
+    s = None
+    for r in reduces:
+        if r in ("sum", "mean"):
+            if s is None:
+                s = jnp.sum(jnp.where(m3, b3, 0.0), axis=(0, 1))
+            outs.append(s if r == "sum" else s / max(n_edges, 1))
+        elif r == "max":
+            outs.append(jnp.max(jnp.where(m3, b3, -jnp.inf), axis=(0, 1)))
+        elif r == "min":
+            outs.append(jnp.min(jnp.where(m3, b3, jnp.inf), axis=(0, 1)))
+        else:
+            raise ValueError(f"unknown reducer {r!r}")
+    return jnp.concatenate(outs, axis=-1)
+
+
+def band_spmv(bands: Array, offsets: Sequence[int], x: Array) -> Array:
+    """y = A @ x from band-layout values — sum_k bands_k * shift(x, off_k).
+
+    Identical to `ops.dia.DIAOperator.matvec` numerics; provided so
+    GN-style code holding edge data in band layout can also apply the
+    operator without rebuilding a DIAOperator (pad slots must be 0, which
+    `BandLayout.pack` guarantees).
+    """
+    y = jnp.zeros_like(x)
+    for kk, off in enumerate(offsets):
+        d = bands[kk] if x.ndim == 1 else bands[kk][:, None]
+        y = y + d * band_shift(x, off)
+    return y

@@ -113,6 +113,18 @@ class StackedGraphs:
     def n_graphs(self) -> int:
         return self.vals.shape[0]
 
+    def band_stack_nodiag(self):
+        """(BandLayout, band_ov [B, K, N]) — off-diagonal values in the
+        zero-gather band layout (ops/band.py), host-packed once.
+
+        The input of the banded feature path
+        (`jacobi_diag_features_banded`): the train step then touches no
+        edge-order device array at all (TPU gathers cap at ~7e7 elem/s)."""
+        from gnnla_tpu.ops.band import BandLayout
+
+        lay = BandLayout(self.template_nodiag)
+        return lay, lay.pack(self.offdiag_vals)
+
     def dia_stack(self):
         """(offsets, diags [B, K, N]) — the bucket in DIA form.
 

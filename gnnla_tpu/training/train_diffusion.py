@@ -65,7 +65,9 @@ def edge_features(ds: StackedGraphs, n_mesh: int) -> np.ndarray:
 
 def make_apply(model: DiffusionGNN, ds: StackedGraphs, rel: np.ndarray):
     """Batched forward: (params, offdiag_vals [B,E], diags [B,N], g [B,1])
-    -> [B, N, 2] predictions."""
+    -> [B, N, 2] predictions (edge-order path; kept for evaluation tools
+    that hold edge-order data — parameters are interchangeable with the
+    band path below)."""
     template_nd = ds.template_nodiag
     # prebuild the dense-row aggregation layout once; with_values carries
     # it into every traced copy (GNBlock's make_edge_aggregator fast path)
@@ -78,6 +80,34 @@ def make_apply(model: DiffusionGNN, ds: StackedGraphs, rel: np.ndarray):
         return model.apply(params, template_nd.with_values(ov), state)
 
     return jax.vmap(one, in_axes=(None, 0, 0, 0))
+
+
+def make_apply_banded(model: DiffusionGNN, ds: StackedGraphs,
+                      rel: np.ndarray):
+    """(apply, pack) on the zero-gather band layout (ops/band.py) — the
+    production train path: TPU gathers cap at ~7e7 elem/s, so the GN
+    block's x[rows]/x[cols] gathers and 4-way scatter aggregations are
+    replaced by broadcasts, shifts, and masked band reductions.
+
+    apply(params, ov_bands [B, K, N], diags [B, N], g [B, 1]) -> [B, N, 2];
+    pack(offdiag_vals [B, E]) -> [B, K, N] (host numpy, done once per
+    split). Same parameter tree as `make_apply` (tests assert forward
+    parity)."""
+    from gnnla_tpu.ops.band import BandLayout, BandPattern
+
+    lay = BandLayout(ds.template_nodiag)
+    pat = BandPattern.from_layout(lay)
+    # static rel-coord planes in band order: [E, 2] -> [K, N, 2]
+    rel_b = jnp.asarray(
+        np.moveaxis(lay.pack(np.ascontiguousarray(np.asarray(rel).T)), 0, -1),
+        jnp.float32)
+
+    def one(params, ovb, d, g):
+        e = jnp.concatenate([ovb[:, :, None], rel_b], axis=-1)
+        state = GraphState(vertices=d[:, None], edges=e, globals_=g)
+        return model.apply(params, pat, state)
+
+    return jax.vmap(one, in_axes=(None, 0, 0, 0)), lay.pack
 
 
 def loss_terms(pred, targets):
@@ -128,7 +158,10 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
     params = model.init(jax.random.PRNGKey(cfg.seed),
                         dataset.template_nodiag, s0)
 
-    apply_batch = make_apply(model, dataset, rel)
+    apply_batch, band_pack = make_apply_banded(model, dataset, rel)
+    tr_ovb = band_pack(tr.offdiag_vals)
+    va_ovb = band_pack(va.offdiag_vals)
+    te_ovb = band_pack(te.offdiag_vals) if te.n_graphs else None
     tx = optax.chain(optax.adam(cfg.lr),
                      reduce_on_plateau(factor=0.1, patience=10))
     opt_state = tx.init(params)
@@ -186,13 +219,13 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
             if len(idx) < cfg.batch_size and n_seen > 0:
                 break  # static shapes: drop ragged tail
             params, opt_state, loss = train_step(
-                params, opt_state, f32(tr.offdiag_vals[idx]),
+                params, opt_state, f32(tr_ovb[idx]),
                 f32(tr.diags[idx]), f32(tr.globals_[idx]),
                 f32(tr.targets[idx]), jnp.asarray(val_loss, jnp.float32))
             epoch_loss += float(loss) * len(idx)
             n_seen += len(idx)
 
-        val_loss = float(eval_loss(params, f32(va.offdiag_vals),
+        val_loss = float(eval_loss(params, f32(va_ovb),
                                    f32(va.diags), f32(va.globals_),
                                    f32(va.targets)))
         history["train_loss"].append(epoch_loss / max(n_seen, 1))
@@ -214,7 +247,7 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
 
     test_loss = None
     if te.n_graphs:
-        test_loss = float(eval_loss(best_params, f32(te.offdiag_vals),
+        test_loss = float(eval_loss(best_params, f32(te_ovb),
                                     f32(te.diags), f32(te.globals_),
                                     f32(te.targets)))
         print(f"test loss: {test_loss:.5f}")

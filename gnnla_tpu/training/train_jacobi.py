@@ -27,7 +27,8 @@ import optax
 from optax.contrib import reduce_on_plateau
 
 from gnnla_tpu.models.trainable_jacobi import (TrainableJacobiMLP,
-                                               jacobi_diag_features)
+                                               jacobi_diag_features,
+                                               jacobi_diag_features_banded)
 from gnnla_tpu.training import spectral_loss
 from gnnla_tpu.training.datasets import StackedGraphs, small_band_dataset
 
@@ -62,17 +63,23 @@ class TrainJacobiConfig:
     n_devices: Optional[int] = None
 
 
-def _predict_batch(params, model, ds: StackedGraphs, offdiag_vals, diags):
-    """vmap the vertex-only GN block over a stacked bucket -> [B, N]."""
-    def one(ov, d):
-        feats = jacobi_diag_features(ds.template_nodiag.with_values(ov), d)
-        return jnp.ravel(model.apply(params, feats))
-    return jax.vmap(one)(offdiag_vals, diags)
+def feature_stack(ds: StackedGraphs) -> np.ndarray:
+    """Host-packed off-diagonal band stack [B, K, N] — the second argument
+    of `make_loss_fn`'s loss (the banded feature path; ops/band.py)."""
+    _, band_ov = ds.band_stack_nodiag()
+    return band_ov
 
 
 def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
                  layout: str = "dia"):
-    """Batched spectral loss on a gather-free matrix layout.
+    """Batched spectral loss, gather-free end to end.
+
+    The vertex features (A_ii + 4-way off-diagonal aggregation) run on the
+    band layout (`jacobi_diag_features_banded` over `feature_stack(ds)`
+    [B, K, N] — zero gathers, see ops/band.py), and the Gelfand SpMMs run
+    on the DIA or stencil layout below, so the whole train step touches no
+    edge-order device array (TPU gathers/scatters cap at ~7e7 elem/s;
+    bench.py `agg4_*`).
 
     layout="dia": the Gelfand damping-factor SpMMs run on the DIA
     (shift-based) layout — gather-free, faster than scatter segment-sums on
@@ -88,9 +95,13 @@ def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
     both).
     """
     n = ds.template.n_rows
-    # prebuild the dense-row aggregation layout once; with_values carries
-    # it into every traced copy (models/trainable_jacobi.py fast path)
-    ds.template_nodiag.row_layout()
+    # banded feature path: mask/deg are tiny per-bucket constants (K x N
+    # bools), embedded at trace time like the other bucket layouts
+    from gnnla_tpu.ops.band import BandLayout
+
+    blay = BandLayout(ds.template_nodiag)
+    f_mask = jnp.asarray(blay.mask)
+    f_deg = jnp.asarray(np.maximum(blay.deg, 1), jnp.float32)
 
     if layout == "dia":
         from gnnla_tpu.ops.dia import DIAOperator
@@ -113,8 +124,11 @@ def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
         raise ValueError(f"unknown loss layout {layout!r}; "
                          "expected 'dia' or 'stencil'")
 
-    def loss_fn(params, mats, offdiag_vals, diags, probes):
-        dvals = _predict_batch(params, model, ds, offdiag_vals, diags)
+    def loss_fn(params, mats, band_ov, diags, probes):
+        def one_feats(bo, d):
+            feats = jacobi_diag_features_banded(d, bo, f_mask, f_deg)
+            return jnp.ravel(model.apply(params, feats))
+        dvals = jax.vmap(one_feats)(band_ov, diags)
         return jnp.mean(jax.vmap(one)(mats, dvals, probes))
 
     return loss_fn
@@ -218,11 +232,15 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     tr_mat = matrix_stack(tr, cfg.loss_layout)
     va_mat = matrix_stack(va, cfg.loss_layout)
     te_mat = matrix_stack(te, cfg.loss_layout)
+    # off-diagonal band stacks for the zero-gather feature path
+    tr_ov = feature_stack(tr)
+    va_ov = feature_stack(va)
+    te_ov = feature_stack(te)
 
-    def train_step(params, opt_state, mats, offdiag_vals, diags,
+    def train_step(params, opt_state, mats, band_ov, diags,
                    probes, plateau_value):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, mats, offdiag_vals, diags, probes)
+            params, mats, band_ov, diags, probes)
         updates, opt_state = tx.update(grads, opt_state, params,
                                        value=plateau_value)
         params = optax.apply_updates(params, updates)
@@ -272,14 +290,14 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
             probes = _draw_probes(tr, idx, cfg.m_probes, rng)
             params, opt_state, loss = train_step(
                 params, opt_state,
-                as_f32(tr_mat[idx]), as_f32(tr.offdiag_vals[idx]),
+                as_f32(tr_mat[idx]), as_f32(tr_ov[idx]),
                 as_f32(tr.diags[idx]), as_f32(probes),
                 jnp.asarray(val_loss, jnp.float32))
             epoch_loss += float(loss) * len(idx)
             n_seen += len(idx)
 
         val_loss = float(eval_loss(params, as_f32(va_mat),
-                                   as_f32(va.offdiag_vals),
+                                   as_f32(va_ov),
                                    as_f32(va.diags), as_f32(val_probes)))
         dt = time.time() - t0
         history["train_loss"].append(epoch_loss / max(n_seen, 1))
@@ -294,7 +312,7 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     # held-out test loss
     te_probes = _draw_probes(te, range(te.n_graphs), cfg.m_probes, rng)
     test_loss = float(eval_loss(params, as_f32(te_mat),
-                                as_f32(te.offdiag_vals), as_f32(te.diags),
+                                as_f32(te_ov), as_f32(te.diags),
                                 as_f32(te_probes)))
     history["test_loss"] = test_loss
     print(f"test loss: {test_loss:.5f}")

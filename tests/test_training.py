@@ -293,8 +293,8 @@ def test_stencil_loss_layout_parity():
     value and gradient — the grid-roll propagator is the same T = I -
     omega D^-1 A (reference loss contract,
     TrainableJacobiDiag/loss.py:105-128), only the matrix layout differs."""
-    from gnnla_tpu.training.train_jacobi import (make_loss_fn, matrix_stack,
-                                                 _draw_probes)
+    from gnnla_tpu.training.train_jacobi import (feature_stack, make_loss_fn,
+                                                 matrix_stack, _draw_probes)
     from gnnla_tpu.training import small_band_dataset
 
     ds = small_band_dataset(4, n=10, seed=7, cache_dir=None)
@@ -308,7 +308,7 @@ def test_stencil_loss_layout_parity():
     def f32(a):
         return jnp.asarray(a, jnp.float32)
 
-    args = (f32(ds.offdiag_vals), f32(ds.diags), f32(probes))
+    args = (f32(feature_stack(ds)), f32(ds.diags), f32(probes))
     out = {}
     for layout in ("dia", "stencil"):
         lf = make_loss_fn(model, ds, 2.0 / 3.0, 3, layout=layout)
@@ -330,3 +330,56 @@ def test_train_jacobi_stencil_layout_smoke():
     _, history = train_jacobi(cfg)
     assert history["train_loss"][-1] < history["train_loss"][0]
     assert np.isfinite(history["test_loss"])
+
+
+def test_banded_features_match_edge_path():
+    """jacobi_diag_features_banded (zero-gather band layout) == the
+    edge-order path, per matrix, including boundary rows with degree < K."""
+    from gnnla_tpu.models.trainable_jacobi import jacobi_diag_features_banded
+
+    ds = small_band_dataset(3, n=10, seed=3, cache_dir=None)
+    lay, band_ov = ds.band_stack_nodiag()
+    mask = jnp.asarray(lay.mask)
+    deg = jnp.asarray(np.maximum(lay.deg, 1), jnp.float32)
+    for i in range(3):
+        f_edge = jacobi_diag_features(
+            ds.template_nodiag.with_values(
+                jnp.asarray(ds.offdiag_vals[i], jnp.float32)),
+            jnp.asarray(ds.diags[i], jnp.float32))
+        f_band = jacobi_diag_features_banded(
+            jnp.asarray(ds.diags[i], jnp.float32),
+            jnp.asarray(band_ov[i], jnp.float32), mask, deg)
+        np.testing.assert_allclose(np.asarray(f_band), np.asarray(f_edge),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_diffusion_band_path_matches_edge_path():
+    """One parameter tree, two execution paths: the band-layout forward
+    (zero gathers, ops/band.py) must reproduce the edge-order GNBlock
+    forward — including the global update (n_layers_external=2) and the
+    periodic wrap offsets of the diffusion pattern."""
+    from gnnla_tpu.training.train_diffusion import (make_apply,
+                                                    make_apply_banded)
+
+    ds = cosine_diffusion_dataset(3, n=8, seed=5, cache_dir=None)
+    rel = edge_features(ds, 8)
+    model = DiffusionGNN(n_layers_external=2, n_layers_internal=2,
+                         n_hidden=8, encoder=(1, 8), decoder=(1, 8))
+    e0 = jnp.concatenate([jnp.asarray(ds.offdiag_vals[0],
+                                      jnp.float32)[:, None],
+                          jnp.asarray(rel, jnp.float32)], axis=1)
+    s0 = GraphState(vertices=jnp.asarray(ds.diags[0], jnp.float32)[:, None],
+                    edges=e0,
+                    globals_=jnp.asarray(ds.globals_[0], jnp.float32))
+    params = model.init(jax.random.PRNGKey(0), ds.template_nodiag, s0)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    apply_edge = make_apply(model, ds, rel)
+    apply_band, pack = make_apply_banded(model, ds, rel)
+
+    out_e = apply_edge(params, f32(ds.offdiag_vals), f32(ds.diags),
+                       f32(ds.globals_))
+    out_b = apply_band(params, f32(pack(ds.offdiag_vals)), f32(ds.diags),
+                       f32(ds.globals_))
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_e),
+                               rtol=1e-4, atol=1e-5)
