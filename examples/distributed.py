@@ -104,6 +104,25 @@ def main(n=16):
     print(f"sharded stream V-cycle ({ngv}x{ngv} scrambled Laplacian, "
           f"{n_dev} shards) rel err vs single-device: {errv:.3e}")
 
+    # --- distributed multilevel PCG: the large-N solve, sharded -----------
+    # (SA hierarchy; finest levels row-sharded, replicated coarse tail;
+    # CG inner products are full-graph reductions -> psum)
+    from gnnla_tpu.models.multigrid import setup_sa_multigrid
+    from gnnla_tpu.parallel import make_sharded_mg_pcg
+
+    Am = laplacian_2d(48)
+    setup_m = setup_sa_multigrid(Am, min_coarse=16)
+    solve, pm_ = make_sharded_mg_pcg(setup_m, mesh, flip_sign=True,
+                                     n_sharded_levels=2)
+    bm = jnp.asarray(rng.random(Am.n_rows), jnp.float32)
+    xm, hist = solve(device_put_sharded(shard_vector(bm, pm_), mesh),
+                     device_put_sharded(shard_vector(
+                         jnp.zeros(Am.n_rows, jnp.float32), pm_), mesh),
+                     8)
+    print(f"sharded mg_pcg ({setup_m.n_levels} levels, 2 sharded): "
+          f"|r| {float(jnp.linalg.norm(bm)):.2e} -> {hist[-1]:.2e} "
+          f"in 8 iters")
+
 
 if __name__ == "__main__":
     main()

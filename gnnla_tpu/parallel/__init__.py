@@ -3,6 +3,7 @@ from gnnla_tpu.parallel.partition import (
 from gnnla_tpu.parallel.distributed import (initialize_distributed,
                                              global_row_mesh, grid_mesh,
                                              to_global)
+from gnnla_tpu.parallel.krylov import make_sharded_mg_pcg
 from gnnla_tpu.parallel.vcycle import (make_sharded_multigrid_cycle,
                                        make_sharded_stream_vcycle,
                                        make_sharded_vcycle,
@@ -23,7 +24,7 @@ __all__ = ["PartitionedOperator", "partition_rows", "shard_vector",
            "initialize_distributed", "global_row_mesh", "grid_mesh",
            "to_global",
            "make_sharded_vcycle", "make_sharded_stream_vcycle",
-           "make_sharded_multigrid_cycle",
+           "make_sharded_multigrid_cycle", "make_sharded_mg_pcg",
            "partition_rows_rect",
            "make_sharded_stencil_matvec", "make_sharded_stencil_jacobi",
            "shard_planes", "shard_vec2d", "stencil_scaling_model",

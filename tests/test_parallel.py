@@ -306,3 +306,30 @@ def test_sharded_multigrid_cycle_auto_depth_and_guards(mesh, rng):
 
     with pytest.raises(ValueError, match="COO operators"):
         make_sharded_multigrid_cycle(setup_with_dia_multigrid(setup), mesh)
+
+
+def test_sharded_mg_pcg_matches_and_converges(mesh, rng):
+    """Distributed multilevel-PCG: matches the single-device mg_pcg
+    residual history and reaches a tight tolerance in few iterations."""
+    from gnnla_tpu.models.krylov import mg_pcg
+    from gnnla_tpu.models.multigrid import setup_sa_multigrid
+    from gnnla_tpu.parallel import make_sharded_mg_pcg
+
+    A = laplacian_2d(48)
+    setup = setup_sa_multigrid(A, min_coarse=16)
+    b = jnp.asarray(rng.random(A.n_rows), jnp.float32)
+    x0 = jnp.zeros(A.n_rows, jnp.float32)
+
+    solve, part = make_sharded_mg_pcg(setup, mesh, flip_sign=True,
+                                      n_sharded_levels=2)
+    bs = device_put_sharded(shard_vector(b, part), mesh)
+    xs = device_put_sharded(shard_vector(x0, part), mesh)
+    x_sh, hist = solve(bs, xs, 10)
+
+    x_ref, hist_ref = mg_pcg(setup, b, x0, n_iters=10, flip_sign=True)
+    np.testing.assert_allclose(unshard_vector(x_sh, part),
+                               np.asarray(x_ref), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hist),
+                               np.asarray(hist_ref), rtol=1e-2, atol=1e-5)
+    # converged hard: residual down >= 5 orders of magnitude in 10 iters
+    assert hist[-1] < 1e-5 * float(jnp.linalg.norm(b))
