@@ -868,7 +868,8 @@ def bench_diffusion(extra: dict, n_agg: int = 1024):
     rel = edge_features(ds, n_mesh)
     model = DiffusionGNN(n_layers_external=1, n_layers_internal=2,
                          n_hidden=32, encoder=(3, 16))
-    apply_b, band_pack = make_apply_banded(model, ds, rel)  # train path
+    apply_b, band_pack = make_apply_banded(
+        model, ds, rel, grid_shape=(n_mesh, n_mesh))        # train path
     apply_edge = make_apply(model, ds, rel)                 # comparison
     from gnnla_tpu.core import GraphState
     e0 = jnp.concatenate(

@@ -29,9 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from gnnla_tpu.core import GNBlock, GraphBatch, GraphState
-from gnnla_tpu.ops.band import (BandPattern, band_broadcast,
-                                band_global_multi, band_multi_reduce,
-                                band_neighbor_values)
+from gnnla_tpu.ops.band import BandPattern, GridPattern
 from gnnla_tpu.ops.sparse import SparseOperator
 
 Array = jax.Array
@@ -100,13 +98,15 @@ class DiffusionGNN(nn.Module):
 
     def _band_gn_apply(self, tag: str, internal: int, e_out: int,
                        v_out: int, g_out: int, with_global: bool,
-                       pat: BandPattern, v: Array, e: Array,
+                       pat, v: Array, e: Array,
                        g: Array) -> Tuple[Array, Array, Array]:
-        """One GN layer on the band layout (zero gathers; ops/band.py):
-        v_i is a broadcast, v_j a shift, e->v the masked band reduction,
-        e->g/v->g whole-array masked reductions. Same module names as
-        `_gn_layer`, so one parameter tree serves both execution paths
-        (parity-tested in tests/test_training.py)."""
+        """One GN layer on a band-family layout (zero gathers; ops/band.py):
+        v_i is a broadcast, v_j a shift/roll, e->v the (masked) band
+        reduction, e->g/v->g whole-array reductions. `pat` is a
+        `BandPattern` (general banded, masked) or `GridPattern` (uniform
+        periodic grid, mask-free rolls). Same module names as `_gn_layer`,
+        so one parameter tree serves every execution path (parity-tested
+        in tests/test_training.py)."""
         edge_mlp = MLPStack(internal, self.n_hidden, e_out,
                             name=f"{tag}_edge")
         vertex_mlp = MLPStack(internal, self.n_hidden, v_out,
@@ -114,19 +114,18 @@ class DiffusionGNN(nn.Module):
         global_mlp = (MLPStack(internal, self.n_hidden, g_out,
                                name=f"{tag}_global") if with_global else None)
 
-        m3 = pat.mask[:, :, None]
-        v_i = band_broadcast(v, pat.k)                 # dst (row) values
-        v_j = band_neighbor_values(v, pat.offsets)     # src (col) values
+        v_i = pat.broadcast(v)                 # dst (row) values
+        v_j = pat.neighbor(v)                  # src (col) values
         g_e = jnp.broadcast_to(g, e.shape[:2] + (g.shape[-1],))
         e = edge_mlp(jnp.concatenate([v_i, v_j, e, g_e], axis=-1))
-        e = jnp.where(m3, e, 0.0)                      # keep pad slots 0
+        e = pat.mask_pads(e)                   # keep pad slots 0
 
-        ebar = band_multi_reduce(_AGGS, e, pat.mask, pat.deg)
+        ebar = pat.multi(_AGGS, e)
         g_v = jnp.broadcast_to(g, (v.shape[0], g.shape[-1]))
         v = vertex_mlp(jnp.concatenate([v, ebar, g_v], axis=-1))
 
         if global_mlp is not None:
-            ebar_g = band_global_multi(_AGGS, e, pat.mask, pat.n_edges)
+            ebar_g = pat.global_multi(_AGGS, e)
             vbar_g = jnp.concatenate(
                 [jnp.min(v, axis=0), jnp.mean(v, axis=0),
                  jnp.sum(v, axis=0), jnp.max(v, axis=0)], axis=-1)
@@ -138,9 +137,10 @@ class DiffusionGNN(nn.Module):
     def __call__(self, op, state: GraphState,
                  batch: Optional[GraphBatch] = None) -> Array:
         """op: `SparseOperator` (edge-order path via the GNBlock engine) or
-        `ops.band.BandPattern` (band-layout path — state.edges must then be
-        [K, N, Fe]). Both paths share one parameter tree."""
-        banded = isinstance(op, BandPattern)
+        `ops.band.BandPattern` / `ops.band.GridPattern` (band-layout paths
+        — state.edges must then be [K, N, Fe]). All paths share one
+        parameter tree."""
+        banded = isinstance(op, (BandPattern, GridPattern))
         v_out_final = self.n_out_vertex
         if self.decoder is not None:
             v_out_final = self.n_hidden
@@ -153,7 +153,7 @@ class DiffusionGNN(nn.Module):
             ge = MLPStack(enc_l, enc_h, self.n_hidden, name="enc_global")
             edges_enc = ee(state.edges)
             if banded:  # re-zero pad slots (the lift has a bias)
-                edges_enc = jnp.where(op.mask[:, :, None], edges_enc, 0.0)
+                edges_enc = op.mask_pads(edges_enc)
             state = state.replace(vertices=ve(state.vertices),
                                   edges=edges_enc,
                                   globals_=ge(state.globals_))

@@ -48,7 +48,12 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class BandPattern:
     """Jit-side view of a `BandLayout`: what a GN block needs to run
-    band-native (mask/deg as pytree leaves, offsets static)."""
+    band-native (mask/deg as pytree leaves, offsets static).
+
+    The method surface (`neighbor`/`broadcast`/`mask_pads`/`multi`/
+    `global_multi`) is shared with `GridPattern`, so GN-block code is
+    layout-agnostic.
+    """
 
     mask: Array    # [K, N] bool
     deg: Array     # [N] float, clamped >= 1
@@ -68,6 +73,154 @@ class BandPattern:
     @classmethod
     def from_operator(cls, op: SparseOperator) -> "BandPattern":
         return cls.from_layout(BandLayout(op))
+
+    # ------------------------------------------- GN-block method surface
+    def neighbor(self, x: Array) -> Array:
+        return band_neighbor_values(x, self.offsets)
+
+    def broadcast(self, y: Array) -> Array:
+        return band_broadcast(y, self.k)
+
+    def mask_pads(self, e: Array) -> Array:
+        return jnp.where(self.mask[:, :, None], e, 0.0)
+
+    def multi(self, reduces: Sequence[str], e: Array) -> Array:
+        return band_multi_reduce(reduces, e, self.mask, self.deg)
+
+    def global_multi(self, reduces: Sequence[str], e: Array) -> Array:
+        return band_global_multi(reduces, e, self.mask, self.n_edges)
+
+
+class GridBandLayout:
+    """Stencil-class edge layout for *uniform periodic grid* patterns —
+    the diffusion FEM family (`DiffCoeffs/FEM.py` periodic assembly).
+
+    Edges classify by modular (dy, dx) displacement on the h x w grid
+    (`ops.pallas_stencil.stencil_classes`); a uniform periodic pattern has
+    exactly one edge per (class, vertex), so the [K, N] layout is
+    mask-free (no pad slots, no where's, mean = sum/K) and the source
+    read is a 2-D `jnp.roll` — strictly cheaper than the general
+    `BandLayout` (the periodic wraps otherwise explode into ~2.5x more
+    bands than stencil classes). Raises ValueError on non-uniform
+    patterns; callers fall back to `BandLayout`.
+    """
+
+    __slots__ = ("shifts", "h", "w", "n", "k", "n_edges",
+                 "_k_of_edge", "_pos_of_edge")
+
+    def __init__(self, op: SparseOperator, h: int, w: int):
+        from gnnla_tpu.ops.pallas_stencil import stencil_classes
+
+        rows, cols, _ = op.host_coo()
+        if op.n_rows != h * w:
+            raise ValueError(f"n_rows {op.n_rows} != {h}x{w}")
+        shifts, k_idx = stencil_classes(rows, cols, h, w)
+        k = len(shifts)
+        if rows.size != k * h * w:
+            raise ValueError(
+                f"not uniform: {rows.size} edges != {k} classes x {h * w} "
+                f"vertices — use BandLayout")
+        cnt = np.zeros((k, h * w), np.int8)
+        np.add.at(cnt, (k_idx, rows), 1)
+        if not (cnt == 1).all():
+            raise ValueError("not uniform: some (class, vertex) slot is "
+                             "empty or duplicated — use BandLayout")
+        self.shifts = tuple((int(dy), int(dx)) for dy, dx in shifts)
+        self.h, self.w = int(h), int(w)
+        self.n = h * w
+        self.k = k
+        self.n_edges = int(rows.size)
+        self._k_of_edge = k_idx.astype(np.int64)
+        self._pos_of_edge = rows.astype(np.int64)
+
+    def pack(self, vals: np.ndarray) -> np.ndarray:
+        """[..., E] edge-order host values -> [..., K, N] class order."""
+        vals = np.asarray(vals)
+        if vals.shape[-1] != self.n_edges:
+            raise ValueError(f"pack: last axis {vals.shape[-1]} != "
+                             f"n_edges {self.n_edges}")
+        out = np.zeros(vals.shape[:-1] + (self.k, self.n), vals.dtype)
+        out[..., self._k_of_edge, self._pos_of_edge] = vals
+        return out
+
+    def unpack(self, bands: np.ndarray) -> np.ndarray:
+        bands = np.asarray(bands)
+        return bands[..., self._k_of_edge, self._pos_of_edge]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GridPattern:
+    """Jit-side view of a `GridBandLayout` (all-static pytree; the layout
+    has no mask/deg arrays). Same method surface as `BandPattern`."""
+
+    shifts: Tuple[Tuple[int, int], ...] = dataclasses.field(
+        metadata=dict(static=True))
+    h: int = dataclasses.field(metadata=dict(static=True))
+    w: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return len(self.shifts)
+
+    @property
+    def n_edges(self) -> int:
+        return self.k * self.h * self.w
+
+    @classmethod
+    def from_layout(cls, lay: GridBandLayout) -> "GridPattern":
+        return cls(shifts=lay.shifts, h=lay.h, w=lay.w)
+
+    # ------------------------------------------- GN-block method surface
+    def neighbor(self, x: Array) -> Array:
+        """out[k, i] = x[neighbor of i in class k] via 2-D rolls."""
+        f = x.shape[1:]
+        x2 = x.reshape((self.h, self.w) + f)
+        outs = [jnp.roll(x2, (-dy, -dx), axis=(0, 1))
+                for dy, dx in self.shifts]
+        return jnp.stack(outs, axis=0).reshape((self.k, self.h * self.w)
+                                               + f)
+
+    def broadcast(self, y: Array) -> Array:
+        return band_broadcast(y, self.k)
+
+    def mask_pads(self, e: Array) -> Array:
+        return e  # no pad slots
+
+    def multi(self, reduces: Sequence[str], e: Array) -> Array:
+        """[K, N, F] -> [N, len(reduces)*F]; uniform degree K."""
+        e3 = e if e.ndim == 3 else e[:, :, None]
+        outs = []
+        s = None
+        for r in reduces:
+            if r in ("sum", "mean"):
+                if s is None:
+                    s = jnp.sum(e3, axis=0)
+                outs.append(s if r == "sum" else s / self.k)
+            elif r == "max":
+                outs.append(jnp.max(e3, axis=0))
+            elif r == "min":
+                outs.append(jnp.min(e3, axis=0))
+            else:
+                raise ValueError(f"unknown reducer {r!r}")
+        return jnp.concatenate(outs, axis=-1)
+
+    def global_multi(self, reduces: Sequence[str], e: Array) -> Array:
+        e3 = e if e.ndim == 3 else e[:, :, None]
+        outs = []
+        s = None
+        for r in reduces:
+            if r in ("sum", "mean"):
+                if s is None:
+                    s = jnp.sum(e3, axis=(0, 1))
+                outs.append(s if r == "sum" else s / self.n_edges)
+            elif r == "max":
+                outs.append(jnp.max(e3, axis=(0, 1)))
+            elif r == "min":
+                outs.append(jnp.min(e3, axis=(0, 1)))
+            else:
+                raise ValueError(f"unknown reducer {r!r}")
+        return jnp.concatenate(outs, axis=-1)
 
 
 class BandLayout:

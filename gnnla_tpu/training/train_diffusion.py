@@ -83,20 +83,35 @@ def make_apply(model: DiffusionGNN, ds: StackedGraphs, rel: np.ndarray):
 
 
 def make_apply_banded(model: DiffusionGNN, ds: StackedGraphs,
-                      rel: np.ndarray):
+                      rel: np.ndarray, grid_shape=None):
     """(apply, pack) on the zero-gather band layout (ops/band.py) — the
     production train path: TPU gathers cap at ~7e7 elem/s, so the GN
     block's x[rows]/x[cols] gathers and 4-way scatter aggregations are
-    replaced by broadcasts, shifts, and masked band reductions.
+    replaced by broadcasts, shifts/rolls, and band reductions.
+
+    With `grid_shape=(h, w)` and a uniform periodic pattern (every
+    diffusion FEM bucket), the layout is the stencil-class `GridPattern`:
+    K = 8 mask-free classes with 2-D-roll neighbor reads — ~2.5x less
+    edge storage than the general `BandLayout`, whose periodic wraps
+    explode into ~20 offsets. Falls back to `BandLayout` otherwise.
 
     apply(params, ov_bands [B, K, N], diags [B, N], g [B, 1]) -> [B, N, 2];
     pack(offdiag_vals [B, E]) -> [B, K, N] (host numpy, done once per
     split). Same parameter tree as `make_apply` (tests assert forward
     parity)."""
-    from gnnla_tpu.ops.band import BandLayout, BandPattern
+    from gnnla_tpu.ops.band import (BandLayout, BandPattern, GridBandLayout,
+                                    GridPattern)
 
-    lay = BandLayout(ds.template_nodiag)
-    pat = BandPattern.from_layout(lay)
+    lay = None
+    if grid_shape is not None:
+        try:
+            lay = GridBandLayout(ds.template_nodiag, *grid_shape)
+            pat = GridPattern.from_layout(lay)
+        except ValueError:
+            lay = None
+    if lay is None:
+        lay = BandLayout(ds.template_nodiag)
+        pat = BandPattern.from_layout(lay)
     # static rel-coord planes in band order: [E, 2] -> [K, N, 2]
     rel_b = jnp.asarray(
         np.moveaxis(lay.pack(np.ascontiguousarray(np.asarray(rel).T)), 0, -1),
@@ -158,7 +173,8 @@ def train(config: TrainDiffusionConfig = TrainDiffusionConfig(),
     params = model.init(jax.random.PRNGKey(cfg.seed),
                         dataset.template_nodiag, s0)
 
-    apply_batch, band_pack = make_apply_banded(model, dataset, rel)
+    apply_batch, band_pack = make_apply_banded(
+        model, dataset, rel, grid_shape=(cfg.n_mesh, cfg.n_mesh))
     tr_ovb = band_pack(tr.offdiag_vals)
     va_ovb = band_pack(va.offdiag_vals)
     te_ovb = band_pack(te.offdiag_vals) if te.n_graphs else None

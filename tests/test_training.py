@@ -239,6 +239,21 @@ def test_convection_diffusion_end_to_end(tmp_path):
     A = tr.template.with_values(tr.vals[0]).to_scipy()
     assert abs(A - A.T).max() > 1e-8
 
+    # opt-in reproduction of the reference's symmetrized-assembly quirk
+    # (FEM.py:122-128 mirrors the k<=l integral): symmetric even with
+    # convection, and different from the physical assembly
+    from gnnla_tpu.training.datasets import cosine_diffusion_dataset
+    ds_ref = cosine_diffusion_dataset(2, n=8, seed=11,
+                                      convection=(0.1, 0.0),
+                                      reference_symmetrized=True,
+                                      cache_dir=None)
+    Ar = ds_ref.template.with_values(ds_ref.vals[0]).to_scipy()
+    assert abs(Ar - Ar.T).max() < 1e-12
+    ds_phys = cosine_diffusion_dataset(2, n=8, seed=11,
+                                       convection=(0.1, 0.0),
+                                       cache_dir=None)
+    assert abs(ds_phys.vals[0] - ds_ref.vals[0]).max() > 1e-8
+
     cfg = TrainDiffusionConfig(num_matrices=8, n_mesh=8, epochs=2,
                                batch_size=4, n_hidden=8,
                                convection=(0.1, 0.0), cache_dir=None)
@@ -383,3 +398,42 @@ def test_diffusion_band_path_matches_edge_path():
                        f32(ds.globals_))
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_e),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_diffusion_grid_path_matches_edge_path():
+    """GridPattern (stencil-class rolls, mask-free) forward == edge path
+    on the uniform periodic diffusion pattern, same params."""
+    from gnnla_tpu.ops.band import GridBandLayout
+    from gnnla_tpu.training.train_diffusion import (make_apply,
+                                                    make_apply_banded)
+
+    ds = cosine_diffusion_dataset(2, n=8, seed=9, cache_dir=None)
+    rel = edge_features(ds, 8)
+    model = DiffusionGNN(n_layers_external=2, n_layers_internal=2,
+                         n_hidden=8, encoder=(1, 8))
+    e0 = jnp.concatenate([jnp.asarray(ds.offdiag_vals[0],
+                                      jnp.float32)[:, None],
+                          jnp.asarray(rel, jnp.float32)], axis=1)
+    s0 = GraphState(vertices=jnp.asarray(ds.diags[0], jnp.float32)[:, None],
+                    edges=e0,
+                    globals_=jnp.asarray(ds.globals_[0], jnp.float32))
+    params = model.init(jax.random.PRNGKey(1), ds.template_nodiag, s0)
+
+    # this pattern really selects the grid layout (K = 8 classes)
+    lay = GridBandLayout(ds.template_nodiag, 8, 8)
+    assert lay.k == 8 and lay.n_edges == 8 * 64
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+    apply_edge = make_apply(model, ds, rel)
+    apply_grid, pack = make_apply_banded(model, ds, rel, grid_shape=(8, 8))
+    # the grid layout was selected: packed stacks have K = 8 classes
+    assert pack(ds.offdiag_vals).shape == (2, 8, 64)
+    out_e = apply_edge(params, f32(ds.offdiag_vals), f32(ds.diags),
+                       f32(ds.globals_))
+    out_g = apply_grid(params, f32(pack(ds.offdiag_vals)), f32(ds.diags),
+                       f32(ds.globals_))
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_e),
+                               rtol=1e-4, atol=1e-5)
+    # grid pack roundtrip
+    np.testing.assert_array_equal(lay.unpack(lay.pack(ds.offdiag_vals[0])),
+                                  ds.offdiag_vals[0])
