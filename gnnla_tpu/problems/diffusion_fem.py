@@ -48,10 +48,18 @@ def element_stiffness_field(
         n: int,
         alpha_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
         beta_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
-        convection: Optional[Tuple[float, float]] = None) -> np.ndarray:
+        convection: Optional[Tuple[float, float]] = None,
+        reference_symmetrized: bool = False) -> np.ndarray:
     """All element stiffness matrices at once: returns [n*n, 4, 4].
 
     Element (i, j) spans [i h, (i+1) h] x [j h, (j+1) h], h = 1/n.
+
+    `reference_symmetrized=True` reproduces the reference's assembly quirk
+    bit-for-distribution: FEM.py:122-128 computes only the k <= l integral
+    and mirrors K_e[l,k] = K_e[k,l], silently symmetrizing the convection
+    term (half the advection is lost). Default False assembles the true
+    nonsymmetric integral; flip it on to train/evaluate on exactly the
+    reference's data distribution.
     """
     h = 1.0 / n
     # reference points on [0,1]
@@ -84,6 +92,9 @@ def element_stiffness_field(
         conv = (cx * np.einsum("q,qk,ql->kl", W, phi, dxi)
                 + cy * np.einsum("q,qk,ql->kl", W, phi, dnu))
         ke = ke - h * conv[None, :, :]
+        if reference_symmetrized:
+            # keep the k <= l integrals, mirror them below the diagonal
+            ke = np.triu(ke) + np.triu(ke, 1).transpose(0, 2, 1)
     # element (i,j) of the E axis is laid out with i = e % n, j = e // n
     # but we built it i-major; reorder to match reference elem indexing
     order = (ey * n + ex).argsort(kind="stable")
@@ -145,6 +156,7 @@ def constant_diffusion_matrix(alpha: float, beta: float, n: int, *,
 
 
 def cosine_diffusion_matrix(thetas, n: int, *, convection=None,
+                            reference_symmetrized: bool = False,
                             dtype=None) -> SparseOperator:
     """thetas = (theta_alpha_x, theta_alpha_y, theta_beta_x, theta_beta_y),
     matching CosineDiffusionFEM_Builder.generate_problem_stiffness_matrix."""
@@ -152,7 +164,8 @@ def cosine_diffusion_matrix(thetas, n: int, *, convection=None,
     tax, tay, tbx, tby = thetas
     ke = element_stiffness_field(n, cosine_field(tax, tay),
                                  cosine_field(tbx, tby),
-                                 convection=convection)
+                                 convection=convection,
+                                 reference_symmetrized=reference_symmetrized)
     return SparseOperator.from_scipy(assemble_periodic(ke, n),
                                      dtype=dtype or jnp.float32)
 

@@ -70,11 +70,12 @@ def _gen_cosine(args):
     from gnnla_tpu.problems.diffusion_fem import (assemble_periodic,
                                                   cosine_field,
                                                   element_stiffness_field)
-    thetas, n, convection = args
+    thetas, n, convection, ref_sym = args
     tax, tay, tbx, tby = thetas
     ke = element_stiffness_field(n, cosine_field(tax, tay),
                                  cosine_field(tbx, tby),
-                                 convection=convection)
+                                 convection=convection,
+                                 reference_symmetrized=ref_sym)
     return assemble_periodic(ke, n)
 
 
@@ -273,6 +274,7 @@ def stretched_mesh_dataset(num_matrices: int, *, n_cells: int = 5,
 def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
                              max_freq: float = 3.0, seed: int = 41,
                              convection=None,
+                             reference_symmetrized: bool = False,
                              cache_dir: Optional[str] = None
                              ) -> StackedGraphs:
     """Cosine-diffusion FEM matrices at fixed resolution n.
@@ -291,13 +293,18 @@ def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
     assembled unsymmetrized (physically correct: convection-diffusion
     operators are nonsymmetric), so the convection dataset distribution
     intentionally differs from the reference's quirk
-    (tests/test_training.py asserts the nonsymmetry end-to-end).
+    (tests/test_training.py asserts the nonsymmetry end-to-end). Pass
+    `reference_symmetrized=True` to reproduce the reference's exact
+    (symmetrized) distribution instead — e.g. when comparing trained-model
+    quality against reference-trained checkpoints.
     """
     cache = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         ckey = "" if convection is None else \
             f"_c{convection[0]}_{convection[1]}"
+        if reference_symmetrized:
+            ckey += "_refsym"
         cache = os.path.join(
             cache_dir,
             f"cosdiff_{num_matrices}_{n}_{max_freq}_{seed}{ckey}.npz")
@@ -314,7 +321,8 @@ def cosine_diffusion_dataset(num_matrices: int, *, n: int = 32,
         targets.append(np.stack([a, b], axis=1))
         thetas_all.append(thetas)
     hosts = _parallel_map(
-        _gen_cosine, [(tuple(t), n, convection) for t in thetas_all])
+        _gen_cosine, [(tuple(t), n, convection, reference_symmetrized)
+                      for t in thetas_all])
     ops = [SparseOperator.from_scipy(K) for K in hosts]
 
     template, nodiag, vals, offdiag_vals, diags = _stack_from_ops(ops)
