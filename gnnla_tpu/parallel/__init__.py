@@ -2,7 +2,7 @@ from gnnla_tpu.parallel.partition import (
     PartitionedOperator, partition_rows, shard_vector, unshard_vector)
 from gnnla_tpu.parallel.distributed import (initialize_distributed,
                                              global_row_mesh, grid_mesh,
-                                             to_global)
+                                             replicate_global, to_global)
 from gnnla_tpu.parallel.krylov import make_sharded_mg_pcg
 from gnnla_tpu.parallel.vcycle import (make_sharded_multigrid_cycle,
                                        make_sharded_stream_vcycle,
@@ -22,7 +22,7 @@ __all__ = ["PartitionedOperator", "partition_rows", "shard_vector",
            "unshard_vector", "make_sharded_matvec", "make_sharded_jacobi",
            "make_sharded_norm", "make_sharded_power_method", "device_put_sharded",
            "initialize_distributed", "global_row_mesh", "grid_mesh",
-           "to_global",
+           "to_global", "replicate_global",
            "make_sharded_vcycle", "make_sharded_stream_vcycle",
            "make_sharded_multigrid_cycle", "make_sharded_mg_pcg",
            "partition_rows_rect",

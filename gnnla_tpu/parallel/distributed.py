@@ -83,3 +83,20 @@ def to_global(tree, mesh: Mesh, axis: str = "rows"):
             a.shape, sharding, lambda idx, a=a: a[idx])
 
     return jax.tree.map(leaf, tree)
+
+
+def replicate_global(tree, mesh: Mesh):
+    """Host-replicated pytree -> fully-replicated global `jax.Array`s.
+
+    The companion of `to_global` for arguments every device needs whole
+    (e.g. the replicated coarse tail of `make_sharded_multigrid_cycle`).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def leaf(a):
+        a = np.asarray(a)
+        sharding = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx, a=a: a[idx])
+
+    return jax.tree.map(leaf, tree)

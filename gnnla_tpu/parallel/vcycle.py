@@ -180,10 +180,17 @@ def make_sharded_multigrid_cycle(setup, mesh: Mesh, axis: str = "rows", *,
                                  omega: float = 0.7, coarse_deg: int = 8,
                                  gamma: int = 1,
                                  min_sharded_rows: int = 32768,
-                                 n_sharded_levels: int | None = None):
+                                 n_sharded_levels: int | None = None,
+                                 globalize=None):
     """Distributed *multilevel* V/W-cycle: the finest K levels run
     row-sharded (halo `ppermute` smoothing, `psum` restriction), the
     coarse tail runs the replicated `multigrid_cycle` recursion.
+
+    `globalize(sharded_tree, replicated_tree) -> (sharded, replicated)`
+    lets multi-process callers materialise the operator pytrees as global
+    arrays (e.g. `lambda s, r: (to_global(s, mesh), replicate_global(r,
+    mesh))`) — required whenever the mesh spans processes, a no-op
+    single-host.
 
     The completion of `make_sharded_vcycle` for real hierarchies
     (`setup_multigrid` / `setup_sa_multigrid`): with ~4x coarsening the
@@ -237,6 +244,9 @@ def make_sharded_multigrid_cycle(setup, mesh: Mesh, axis: str = "rows", *,
     tail = MultigridSetup(As=setup.As[K:], Ps=setup.Ps[K:],
                           diags=setup.diags[K:], coarse_c=setup.coarse_c,
                           coarse_d=setup.coarse_d)
+    if globalize is not None:
+        (parts, part_ps, d_blocks), tail = globalize(
+            (parts, part_ps, d_blocks), tail)
 
     # static per-level facts (halo geometry, block sizes, coarse dims)
     lev = [(p.halo, p.halo_reach <= 1, p.rows_per_shard) for p in parts]

@@ -40,7 +40,7 @@ def main() -> None:
     import numpy as np
 
     from gnnla_tpu.parallel import (initialize_distributed, global_row_mesh,
-                                    to_global)
+                                    replicate_global, to_global)
     from gnnla_tpu.parallel.partition import partition_rows, shard_vector
     from gnnla_tpu.parallel.spmv import (make_sharded_matvec,
                                          make_sharded_power_method)
@@ -98,10 +98,38 @@ def main() -> None:
     lam_err = abs(float(lam_all.ravel()[0]) - lam_true) / lam_true
     assert lam_err < 5e-3, (float(lam_all.ravel()[0]), lam_true)
 
+    # --- sharded multilevel cycle across the process boundary ------------
+    # (halo ppermute per level, psum restriction, dynamic_slice/all_gather
+    # level hand-off, replicated coarse tail — the deepest distributed
+    # composition, running over two real processes)
+    from gnnla_tpu.models.multigrid import multigrid_cycle, setup_sa_multigrid
+    from gnnla_tpu.parallel import make_sharded_multigrid_cycle
+
+    ml = setup_sa_multigrid(op, min_coarse=8)
+    cyc, part_m = make_sharded_multigrid_cycle(
+        ml, mesh, n_pre=2, n_post=2, coarse_deg=4,
+        n_sharded_levels=2 if ml.n_levels >= 3 else 1,
+        globalize=lambda s, r: (to_global(s, mesh),
+                                replicate_global(r, mesh)))
+    b_ml = rng.standard_normal(n).astype(np.float32)
+    bm = to_global(np.asarray(shard_vector(b_ml, part_m)), mesh)
+    xm = to_global(np.asarray(shard_vector(np.zeros(n, np.float32),
+                                           part_m)), mesh)
+    out_m = cyc(bm, xm)
+    x_ref = np.asarray(multigrid_cycle(ml, b_ml, np.zeros(n, np.float32),
+                                       n_pre=2, n_post=2, coarse_deg=4))
+    x_ref_sr = np.zeros((part_m.n_shards, part_m.rows_per_shard))
+    x_ref_sr.reshape(-1)[:n] = x_ref
+    scale = np.max(np.abs(x_ref)) + 1e-30
+    for shard in out_m.addressable_shards:
+        err = float(np.max(np.abs(np.asarray(shard.data)
+                                  - x_ref_sr[shard.index])) / scale)
+        assert err < 1e-4, (shard.index, err)
+
     with open(os.path.join(outdir, f"ok_{pid}.json"), "w") as f:
         json.dump({"pid": pid, "n_devices": n_dev,
                    "lam": float(lam_all.ravel()[0]), "lam_true": lam_true,
-                   "lam_err": lam_err}, f)
+                   "lam_err": lam_err, "mg_levels": ml.n_levels}, f)
 
 
 if __name__ == "__main__":

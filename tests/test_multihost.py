@@ -4,9 +4,10 @@ Spawns 2 OS processes x 4 forced-host CPU devices each, connected through
 a coordination service on localhost — the same bring-up a TPU pod uses
 (one process per host, `jax.distributed.initialize`, one global mesh).
 The workers run the row-sharded SpMV (halo `ppermute` crossing the
-process boundary) and the sharded power method (`psum` spanning all 8
-devices) and assert parity against a host reference; see
-tests/multihost_worker.py.
+process boundary), the sharded power method (`psum` spanning all 8
+devices), and the sharded multilevel cycle (per-level halo exchange,
+psum restriction, dynamic_slice/all_gather level hand-off) and assert
+parity against host references; see tests/multihost_worker.py.
 
 Real multi-chip hardware is not available in this environment (1 TPU
 chip); this is the strongest available validation of the multi-host
