@@ -5,7 +5,7 @@ import time
 
 MODULES = ["matvec", "residual_norm", "jacobi", "chebyshev", "power_method",
            "soc_interp", "vcycle", "multigrid_pcg", "train_jacobi", "train_diffusion",
-           "distributed"]
+           "band_layout", "distributed"]
 
 
 def main():

@@ -28,6 +28,7 @@ SMALL = {
     "multigrid_pcg": dict(n=16),
     "train_jacobi": {},       # example configs are already demo-sized
     "train_diffusion": {},
+    "band_layout": dict(n=10),
     "distributed": dict(n=16),
 }
 
