@@ -40,10 +40,43 @@ Backend notes (axon/tunneled TPU), learned the hard way:
 
 import json
 import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+# ------------------------------------------------------------------ emission
+# The driver parses the LAST JSON line on stdout. Round 4's run timed out
+# mid-section and lost every completed stanza because the line was printed
+# only once at the very end. Now the cumulative result line is re-emitted
+# after EVERY section (last-write-wins) and on SIGTERM/SIGINT, so a timeout
+# anywhere preserves all completed work.
+_STATE = {"best": 0.0, "cpu": None, "extra": {}, "done": []}
+
+
+def emit():
+    extra = _STATE["extra"]
+    cpu = _STATE["cpu"]
+    if cpu is None:
+        cpu = extra.get("general_graph_cpu_edges_per_s", 1.0)
+    best = _STATE["best"]
+    if best == 0.0:
+        best = extra.get("general_graph_edges_per_s", 0.0)
+    extra["sections_done"] = list(_STATE["done"])
+    print(json.dumps({
+        "metric": "spmv_edges_per_s",
+        "value": best,
+        "unit": "edges/s",
+        "vs_baseline": best / cpu if cpu else 0.0,
+        "extra": extra,
+    }), flush=True)
+
+
+def _on_term(signum, frame):
+    log(f"signal {signum}: emitting partial results and exiting")
+    emit()
+    sys.exit(1)
 
 
 def _bench(apply_fn, op_tree, x0, nnz, n_iters: int,
@@ -351,22 +384,34 @@ def knn_laplacian(n, k=32, seed=7):
     return lap.astype(np.float32)
 
 
-def bench_general(n: int, extra: dict):
-    """Unstructured-graph SpMV through the stream kernel, with an on-chip
-    correctness assert in the same run. This is the workload class of the
-    reference's one hot kernel: torch_scatter.scatter over arbitrary edge
-    lists (/root/reference/pytorch/MatVecGNN.py:43-62)."""
-    import jax.numpy as jnp
-
-    from gnnla_tpu.ops.pallas_stream import StreamSpMV, rcm_csr
+def build_general_fixture(n: int, extra: dict):
+    """Host-only build of the unstructured fixture (k-NN graph + RCM) —
+    callable while the per-process d2h warmup transfer is in flight."""
+    from gnnla_tpu.ops.pallas_stream import rcm_csr
 
     t0 = time.perf_counter()
     lap = knn_laplacian(n)
     lap = (lap / (abs(lap).sum(axis=1).max() * 1.01)).tocsr()
     lap.sort_indices()
     A, _ = rcm_csr(lap)
+    dt = time.perf_counter() - t0
+    extra["general_fixture_build_seconds"] = dt
     log(f"general fixture: k-NN-32 Laplacian n={n} nnz={A.nnz} "
-        f"({time.perf_counter() - t0:.1f}s incl. RCM)")
+        f"({dt:.1f}s incl. RCM)")
+    return A
+
+
+def bench_general(n: int, extra: dict, A=None):
+    """Unstructured-graph SpMV through the stream kernel, with an on-chip
+    correctness assert in the same run. This is the workload class of the
+    reference's one hot kernel: torch_scatter.scatter over arbitrary edge
+    lists (/root/reference/pytorch/MatVecGNN.py:43-62)."""
+    import jax.numpy as jnp
+
+    from gnnla_tpu.ops.pallas_stream import StreamSpMV
+
+    if A is None:
+        A = build_general_fixture(n, extra)
 
     t0 = time.perf_counter()
     mv = StreamSpMV(A, with_transpose=False)
@@ -395,7 +440,20 @@ def bench_general(n: int, extra: dict):
     eps = _bench(mv.apply, mv.op_args, mv.to_padded(jnp.ones(n)), mv.nnz,
                  n_it, n_chain=5)
     extra["general_graph_edges_per_s"] = eps
-    log(f"stream spmv:     {eps:.3e} edges/s")
+    # bytes/edge model for the stream kernel (VERDICT r4 item 3): per edge
+    # SLOT the HBM streams are 4 B packed word + 4 B value; per TILE one
+    # w_sc-superchunk x-window DMA (w_sc*1024 floats) plus the 1024-float
+    # y write. Divided by real nnz, the slot/tile padding shows up as
+    # bytes/edge > 12 — the honest roofline includes it.
+    bytes_total = (f.n_units * 1024 * 8
+                   + f.n_tiles * f.w_sc * 1024 * 4
+                   + f.n_tiles * 1024 * 4)
+    bpe = bytes_total / A.nnz
+    frac = eps * bpe / 819e9
+    extra["general_graph_bytes_per_edge"] = bpe
+    extra["general_graph_roofline_frac"] = frac
+    log(f"stream spmv:     {eps:.3e} edges/s "
+        f"({bpe:.1f} B/edge model -> {frac:.0%} of HBM roofline)")
 
     # reference execution model on the same matrix
     xx = x.copy()
@@ -407,95 +465,190 @@ def bench_general(n: int, extra: dict):
     extra["general_graph_cpu_edges_per_s"] = cpu
     extra["general_graph_vs_cpu"] = eps / cpu
     log(f"cpu scipy:       {cpu:.3e} edges/s (stream = {eps / cpu:.0f}x)")
+    return A, mv, eps
 
-    # multi-RHS SpMM (opt-in: GNNLA_BENCH_SECTIONS must include "spmm").
-    # One pass over the edge packs computes all n_rhs columns — the
-    # spectral-loss T @ Y workload (reference loss.py:105-128). Excluded
-    # from the default run because the M=8 Mosaic compile is ~8 min
-    # one-time; measured on v5e (262k-row k-NN-16): 2.6e10 edge-cols/s,
-    # 1.5x aggregate over per-column vector applies.
-    if "spmm" in os.environ.get("GNNLA_BENCH_SECTIONS", ""):
-        try:
-            from gnnla_tpu.ops.pallas_stream import (StreamSpMM,
-                                                     mrhs_out_to_in)
-            import jax
 
-            M = int(os.environ.get("GNNLA_SPMM_RHS", "8"))
-            mmk = StreamSpMM(A, M, with_transpose=False, fmt=mv.fmt)
-            Xs = rng.standard_normal((n, M)).astype(np.float32)
-            Ym = np.asarray(mmk.matmat(Xs))
-            em = A @ Xs
-            relerr_m = float(np.abs(Ym - em).max() / np.abs(em).max())
-            assert relerr_m < 1e-4, f"spmm MISMATCH: rel err {relerr_m}"
-            n_it2 = 50
+def bench_spmm(A, mv, eps, extra: dict):
+    """Multi-RHS SpMM: one pass over the edge packs computes all n_rhs
+    columns — the spectral-loss T @ Y workload (reference loss.py:105-128).
+    Its own budget-gated section (the M=8 Mosaic compile is minutes of
+    one-time cost), promoted out of opt-in per VERDICT r4 item 9."""
+    import jax
+    import jax.numpy as jnp
 
-            @jax.jit
-            def run_mm(op_args, x4):
-                def step(x4, _):
-                    return mrhs_out_to_in(mmk.apply(op_args, x4)), None
-                x4, _ = jax.lax.scan(step, x4, None, length=n_it2)
-                return x4
+    from gnnla_tpu.ops.pallas_stream import StreamSpMM, mrhs_out_to_in
 
-            x4 = run_mm(mmk.op_args, mmk.to_padded(Xs))
-            float(jnp.sum(x4))
-            t0 = time.perf_counter()
-            float(jnp.sum(x4))
-            fetch2 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(3):
-                x4 = run_mm(mmk.op_args, x4)
-            sm = float(jnp.sum(x4))
-            dtm = time.perf_counter() - t0 - fetch2
-            assert np.isfinite(sm)
-            ecs = A.nnz * M * n_it2 * 3 / dtm
-            extra["general_graph_spmm_edge_cols_per_s"] = ecs
-            extra["general_graph_spmm_n_rhs"] = M
-            log(f"stream spmm M={M}: {ecs:.3e} edge-cols/s "
-                f"({ecs / M / eps:.2f}x per column vs spmv)")
-        except Exception as e:
-            log(f"stream spmm unavailable: {type(e).__name__}: {e}")
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    M = int(os.environ.get("GNNLA_SPMM_RHS", "8"))
+    mmk = StreamSpMM(A, M, with_transpose=False, fmt=mv.fmt)
+    Xs = rng.standard_normal((n, M)).astype(np.float32)
+    Ym = np.asarray(mmk.matmat(Xs))
+    em = A @ Xs
+    relerr_m = float(np.abs(Ym - em).max() / np.abs(em).max())
+    assert relerr_m < 1e-4, f"spmm MISMATCH: rel err {relerr_m}"
+    n_it2 = 50
 
-    # BSR (dense 128^2 blocks, MXU-eligible SpMM) — the other
-    # general-graph layout, recorded so its keep-or-fold decision is
-    # evidence-based. Its per-edge traffic is slot_waste x the stream
-    # kernel's (dense block padding), so the fixture is capped: at 1M+
-    # rows the padded blocks are tens of GB and shipping them over the
-    # tunneled backend would dominate the bench for a path that already
-    # loses to the stream kernel at every size.
+    @jax.jit
+    def run_mm(op_args, x4):
+        def step(x4, _):
+            return mrhs_out_to_in(mmk.apply(op_args, x4)), None
+        x4, _ = jax.lax.scan(step, x4, None, length=n_it2)
+        return x4
+
+    x4 = run_mm(mmk.op_args, mmk.to_padded(Xs))
+    float(jnp.sum(x4))
+    t0 = time.perf_counter()
+    float(jnp.sum(x4))
+    fetch2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(3):
+        x4 = run_mm(mmk.op_args, x4)
+    sm = float(jnp.sum(x4))
+    dtm = time.perf_counter() - t0 - fetch2
+    assert np.isfinite(sm)
+    ecs = A.nnz * M * n_it2 * 3 / dtm
+    extra["general_graph_spmm_edge_cols_per_s"] = ecs
+    extra["general_graph_spmm_n_rhs"] = M
+    log(f"stream spmm M={M}: {ecs:.3e} edge-cols/s "
+        f"({ecs / M / max(eps, 1e-30):.2f}x per column vs spmv)")
+
+
+def bench_bsr(A, eps, extra: dict):
+    """BSR (dense 128^2 blocks, MXU-eligible SpMM) — the other
+    general-graph layout, recorded so its keep-or-fold decision is
+    evidence-based. Its per-edge traffic is slot_waste x the stream
+    kernel's (dense block padding), so the fixture is capped: at 1M+
+    rows the padded blocks are tens of GB and shipping them over the
+    tunneled backend would dominate the bench for a path that already
+    loses to the stream kernel at every size."""
+    import jax.numpy as jnp
+
+    from gnnla_tpu.ops.bsr import to_bsr
+    from gnnla_tpu.ops.pallas_stream import rcm_csr
+    from gnnla_tpu.ops.sparse import SparseOperator
+
+    rng = np.random.default_rng(0)
+    n = A.shape[0]
+    nb_cap = 1 << 17
+    if n > nb_cap:
+        Ab, _ = rcm_csr(knn_laplacian(nb_cap))
+        Ab = (Ab / (abs(Ab).sum(axis=1).max() * 1.01)).tocsr()
+        Ab.sort_indices()
+        log(f"bsr fixture capped at n={nb_cap} (same family)")
+    else:
+        Ab = A
+    nb_rows = Ab.shape[0]
+    t0 = time.perf_counter()
+    bsr = to_bsr(SparseOperator.from_scipy(Ab), block_size=128)
+    nb = bsr.blocks.shape[0]
+    waste = nb * 128 * 128 / Ab.nnz
+    log(f"bsr build:       {time.perf_counter() - t0:.1f}s "
+        f"nb={nb} slot_waste={waste:.1f}x")
+    xb = rng.standard_normal(nb_rows).astype(np.float32)
+    yb = np.asarray(bsr.matvec(jnp.asarray(xb)))
+    eb = Ab @ xb
+    relerr_b = float(np.abs(yb - eb).max() / np.abs(eb).max())
+    assert relerr_b < 1e-4, f"bsr MISMATCH: rel err {relerr_b}"
+    eps_b = _bench(lambda o, xx: o.matvec(xx), bsr,
+                   jnp.ones(nb_rows, jnp.float32), Ab.nnz, 50,
+                   n_chain=2)
+    extra["general_graph_bsr_edges_per_s"] = eps_b
+    extra["general_graph_bsr_n"] = int(nb_rows)
+    extra["general_graph_bsr_slot_waste"] = waste
+    log(f"bsr spmv:        {eps_b:.3e} edges/s "
+        f"(stream = {eps / max(eps_b, 1e-30):.1f}x faster)")
+
+
+def bench_agg_unstructured(extra: dict, n: int = 1 << 18, k: int = 32):
+    """4-way (min, mean, sum, max) edge->vertex aggregation on an
+    UNSTRUCTURED k-NN graph — the torch_scatter workload of the learned
+    models on meshfree patterns (VERDICT r4 missing #1; reference
+    TrainableJacobiGNN.py:65-68, MatVecGNN.py:43-62). Paths:
+      ell      zero-gather EllLayout slot reduce (ops/band.py — the fix)
+      segment  scatter-based multi_segment_reduce (the old general path)
+      cpu      torch.scatter_reduce on host (the reference's execution
+               model: torch_scatter's CPU segment kernels)
+    Parity between ell and segment asserted on-device in the same run."""
+    import jax.numpy as jnp
+
+    from gnnla_tpu.ops.band import EllLayout, ell_multi_reduce
+    from gnnla_tpu.ops.segment import multi_segment_reduce
+
+    AGGS = ("min", "mean", "sum", "max")
+    t0 = time.perf_counter()
+    lap = knn_laplacian(n, k=k).tocoo()
+    off = lap.row != lap.col
+    rows = np.ascontiguousarray(lap.row[off])
+    cols = np.ascontiguousarray(lap.col[off])
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    E = rows.size
+    rng = np.random.default_rng(1)
+    v_h = rng.standard_normal(E).astype(np.float32)
+    lay = EllLayout(rows, cols, n)
+    log(f"agg fixture:     k-NN-{k} n={n} E={E} K={lay.k} "
+        f"(slot fill {E / (lay.k * n):.2f}, "
+        f"{time.perf_counter() - t0:.1f}s)")
+    extra["agg4_unstructured_n"] = int(n)
+    extra["agg4_unstructured_edges"] = int(E)
+    extra["agg4_unstructured_k_slots"] = int(lay.k)
+
+    slots0 = jnp.asarray(lay.pack(v_h), jnp.float32)
+    deg_j = jnp.asarray(lay.deg)
+    rows_j = jnp.asarray(rows)
+
+    # on-device parity: ELL reduce == scatter segment reduce, same edges
+    out_ell = np.asarray(ell_multi_reduce(AGGS, slots0, deg_j))
+    out_seg = np.asarray(multi_segment_reduce(
+        AGGS, jnp.asarray(v_h)[:, None], rows_j, n, is_sorted=True))
+    perr = float(np.abs(out_ell - out_seg).max()
+                 / max(np.abs(out_seg).max(), 1e-30))
+    extra["agg4_unstructured_rel_err"] = perr
+    assert perr < 1e-5, f"ELL vs segment MISMATCH: rel err {perr}"
+
+    def agg_ell(args, slots):
+        (deg,) = args
+        out = ell_multi_reduce(AGGS, slots, deg)          # [N, 4]
+        return slots * 0.999 + 1e-6 * out.sum(axis=1)[None, :]
+
+    ell_eps = _bench(agg_ell, (deg_j,), slots0, E, 100, n_chain=5)
+    extra["agg4_ell_edges_per_s"] = ell_eps
+    log(f"4-way agg ell:   {ell_eps:.3e} edges/s (zero-gather)")
+
+    def agg_seg(args, v):
+        (rr,) = args
+        out = multi_segment_reduce(AGGS, v[:, None], rr, n, is_sorted=True)
+        return v * 0.999 + 1e-6 * out.sum(axis=1)[rr]
+
+    seg_eps = _bench(agg_seg, (rows_j,), jnp.asarray(v_h), E, 5, n_chain=1)
+    extra["agg4_unstructured_segment_edges_per_s"] = seg_eps
+    log(f"4-way agg seg:   {seg_eps:.3e} edges/s (scatter path)")
+
+    # host baseline: torch scatter_reduce, all four reducers per pass
     try:
-        from gnnla_tpu.ops.bsr import to_bsr
-        from gnnla_tpu.ops.sparse import SparseOperator
+        import torch
+        tv = torch.from_numpy(v_h)
+        tr = torch.from_numpy(rows.astype(np.int64))
+        outs = {r: torch.zeros(n) for r in ("sum", "mean", "amin", "amax")}
 
-        nb_cap = 1 << 17
-        if n > nb_cap:
-            Ab, _ = rcm_csr(knn_laplacian(nb_cap))
-            Ab = (Ab / (abs(Ab).sum(axis=1).max() * 1.01)).tocsr()
-            Ab.sort_indices()
-            log(f"bsr fixture capped at n={nb_cap} (same family)")
-        else:
-            Ab = A
-        nb_rows = Ab.shape[0]
+        def cpu_pass():
+            for r, o in outs.items():
+                o.zero_().scatter_reduce_(0, tr, tv, reduce=r,
+                                          include_self=False)
+
+        cpu_pass()
+        n_it = 5
         t0 = time.perf_counter()
-        bsr = to_bsr(SparseOperator.from_scipy(Ab), block_size=128)
-        nb = bsr.blocks.shape[0]
-        waste = nb * 128 * 128 / Ab.nnz
-        log(f"bsr build:       {time.perf_counter() - t0:.1f}s "
-            f"nb={nb} slot_waste={waste:.1f}x")
-        xb = rng.standard_normal(nb_rows).astype(np.float32)
-        yb = np.asarray(bsr.matvec(jnp.asarray(xb)))
-        eb = Ab @ xb
-        relerr_b = float(np.abs(yb - eb).max() / np.abs(eb).max())
-        assert relerr_b < 1e-4, f"bsr MISMATCH: rel err {relerr_b}"
-        eps_b = _bench(lambda o, xx: o.matvec(xx), bsr,
-                       jnp.ones(nb_rows, jnp.float32), Ab.nnz, 50,
-                       n_chain=2)
-        extra["general_graph_bsr_edges_per_s"] = eps_b
-        extra["general_graph_bsr_n"] = int(nb_rows)
-        extra["general_graph_bsr_slot_waste"] = waste
-        log(f"bsr spmv:        {eps_b:.3e} edges/s "
-            f"(stream = {eps / max(eps_b, 1e-30):.1f}x faster)")
+        for _ in range(n_it):
+            cpu_pass()
+        cpu_eps = E * n_it / (time.perf_counter() - t0)
+        extra["agg4_unstructured_cpu_edges_per_s"] = cpu_eps
+        extra["agg4_ell_vs_cpu"] = ell_eps / cpu_eps
+        log(f"4-way agg cpu:   {cpu_eps:.3e} edges/s (torch scatter_reduce"
+            f"; ell = {ell_eps / cpu_eps:.0f}x)")
     except Exception as e:
-        log(f"bsr unavailable: {type(e).__name__}: {e}")
+        log(f"torch cpu baseline unavailable: {type(e).__name__}: {e}")
 
 
 def _time_cycles(solve_fn, setup, b, x0, n_cycles, n_chain=2):
@@ -958,12 +1111,35 @@ def bench_sharded(extra: dict):
         f"vcycle err {out['stream_vcycle_rel_err']:.1e}")
 
 
+# Rough per-section wall-clock estimates (seconds) on the tunneled
+# backend, compile overheads included — used only for the budget gate.
+_SECTION_EST = {
+    "spmv": 360, "general": 240, "agg": 180, "diffusion": 300,
+    "train": 150, "sharded": 240, "solvers": 330, "convergence": 270,
+    "spmm": 700, "bsr": 240,
+}
+_DEFAULT_SECTIONS = ("spmv,general,agg,diffusion,train,sharded,"
+                     "solvers,convergence,spmm,bsr")
+
+
 def main():
     n_grid = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     sections = os.environ.get("GNNLA_BENCH_SECTIONS",
-                              "spmv,general,solvers,train,diffusion,"
-                              "convergence,sharded").split(",")
+                              _DEFAULT_SECTIONS).split(",")
+    # wall-clock budget: sections whose estimate no longer fits are skipped
+    # and whatever was measured is emitted. The start time survives the
+    # pallas-health re-exec via GNNLA_BENCH_T0 so the budget stays anchored
+    # to the process the driver actually timed.
+    budget = float(os.environ.get("GNNLA_BENCH_BUDGET_S", "3000"))
+    t0_epoch = float(os.environ.setdefault("GNNLA_BENCH_T0",
+                                           str(time.time())))
+
+    def elapsed():
+        return time.time() - t0_epoch
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
 
     attempt = int(os.environ.get("GNNLA_BENCH_ATTEMPT", "0"))
     try:
@@ -979,9 +1155,12 @@ def main():
             "continuing with XLA-only paths")
     import jax.numpy as jnp
 
+    extra = _STATE["extra"]
+
     # pay the per-process first device->host transfer cost (variable,
-    # seconds to minutes on the tunneled backend) in a thread overlapped
-    # with host-side setup
+    # seconds to minutes on the tunneled backend) in a thread, TRULY
+    # overlapped with the host-only unstructured-fixture build (knn +
+    # RCM — the dominant host phase; VERDICT r4 weak #1).
     import threading
     t_start = time.perf_counter()
 
@@ -990,61 +1169,64 @@ def main():
 
     warmup = threading.Thread(target=_warmup)
     warmup.start()
+    prebuilt_A = None
+    n_general = min(1 << 20, max(1 << 14, n_grid * n_grid // 4))
+    if {"general", "agg", "spmm", "bsr"} & set(sections):
+        try:
+            prebuilt_A = build_general_fixture(n_general, extra)
+        except Exception as e:
+            log(f"fixture prebuild FAILED: {type(e).__name__}: {e}")
     warmup.join()
-    log(f"d2h warmup: {time.perf_counter() - t_start:.1f}s")
+    wdt = time.perf_counter() - t_start
+    extra["warmup_seconds"] = wdt
+    log(f"d2h warmup: {wdt:.1f}s (overlapped with fixture build)")
 
-    extra = {}
-    best, cpu = 0.0, None
-    if "spmv" in sections:
-        try:
-            best, cpu = bench_spmv(n_grid, n_iters, extra)
-        except Exception as e:
-            log(f"[spmv] FAILED: {type(e).__name__}: {e}")
-    if "general" in sections:
-        try:
-            bench_general(min(1 << 20, max(1 << 14, n_grid * n_grid // 4)),
-                          extra)
-        except Exception as e:
-            log(f"[general] FAILED: {type(e).__name__}: {e}")
-    if "solvers" in sections:
-        try:
-            bench_solvers(max(64, n_grid // 2), extra)
-        except Exception as e:
-            log(f"[solvers] FAILED: {type(e).__name__}: {e}")
-    if "train" in sections:
-        try:
-            bench_train(extra)
-        except Exception as e:
-            log(f"[train] FAILED: {type(e).__name__}: {e}")
-    if "diffusion" in sections:
-        try:
-            bench_diffusion(extra, n_agg=min(1024, n_grid))
-        except Exception as e:
-            log(f"[diffusion] FAILED: {type(e).__name__}: {e}")
-    if "convergence" in sections:
-        try:
-            bench_convergence(n_grid, extra)
-        except Exception as e:
-            log(f"[convergence] FAILED: {type(e).__name__}: {e}")
-    if "sharded" in sections:
-        try:
-            bench_sharded(extra)
-        except Exception as e:
-            extra["sharded_mosaic_ok"] = 0
-            log(f"[sharded] FAILED: {type(e).__name__}: {e}")
+    general_out = {}
 
-    if cpu is None:
-        cpu = extra.get("general_graph_cpu_edges_per_s", 1.0)
-    if best == 0.0:
-        best = extra.get("general_graph_edges_per_s", 0.0)
+    def run_section(name, fn):
+        if name not in sections:
+            return
+        rem = budget - elapsed()
+        if rem < _SECTION_EST.get(name, 120):
+            log(f"[{name}] SKIPPED: {rem:.0f}s left < "
+                f"{_SECTION_EST.get(name, 120)}s estimate")
+            extra.setdefault("skipped_sections", []).append(name)
+            return
+        try:
+            fn()
+            _STATE["done"].append(name)
+        except Exception as e:
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+            extra.setdefault("failed_sections", []).append(name)
+            if name == "sharded":
+                extra["sharded_mosaic_ok"] = 0
+        emit()
 
-    print(json.dumps({
-        "metric": "spmv_edges_per_s",
-        "value": best,
-        "unit": "edges/s",
-        "vs_baseline": best / cpu,
-        "extra": extra,
-    }))
+    def _spmv():
+        best, cpu = bench_spmv(n_grid, n_iters, extra)
+        _STATE["best"], _STATE["cpu"] = best, cpu
+
+    def _general():
+        A, mv, eps = bench_general(n_general, extra, A=prebuilt_A)
+        general_out.update(A=A, mv=mv, eps=eps)
+
+    run_section("spmv", _spmv)
+    run_section("general", _general)
+    run_section("agg", lambda: bench_agg_unstructured(extra))
+    run_section("diffusion",
+                lambda: bench_diffusion(extra, n_agg=min(1024, n_grid)))
+    run_section("train", lambda: bench_train(extra))
+    run_section("sharded", lambda: bench_sharded(extra))
+    run_section("solvers", lambda: bench_solvers(max(64, n_grid // 2),
+                                                 extra))
+    run_section("convergence", lambda: bench_convergence(n_grid, extra))
+    if general_out:
+        run_section("spmm", lambda: bench_spmm(
+            general_out["A"], general_out["mv"], general_out["eps"], extra))
+        run_section("bsr", lambda: bench_bsr(
+            general_out["A"], general_out["eps"], extra))
+
+    emit()
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from gnnla_tpu.core import GNBlock, GraphBatch, GraphState
-from gnnla_tpu.ops.band import BandPattern, GridPattern
+from gnnla_tpu.ops.band import BandPattern, EllPattern, GridPattern
 from gnnla_tpu.ops.sparse import SparseOperator
 
 Array = jax.Array
@@ -103,8 +103,9 @@ class DiffusionGNN(nn.Module):
         """One GN layer on a band-family layout (zero gathers; ops/band.py):
         v_i is a broadcast, v_j a shift/roll, e->v the (masked) band
         reduction, e->g/v->g whole-array reductions. `pat` is a
-        `BandPattern` (general banded, masked) or `GridPattern` (uniform
-        periodic grid, mask-free rolls). Same module names as `_gn_layer`,
+        `BandPattern` (general banded, masked), `GridPattern` (uniform
+        periodic grid, mask-free rolls), or `EllPattern` (unstructured,
+        slot-per-neighbor). Same module names as `_gn_layer`,
         so one parameter tree serves every execution path (parity-tested
         in tests/test_training.py)."""
         edge_mlp = MLPStack(internal, self.n_hidden, e_out,
@@ -137,10 +138,10 @@ class DiffusionGNN(nn.Module):
     def __call__(self, op, state: GraphState,
                  batch: Optional[GraphBatch] = None) -> Array:
         """op: `SparseOperator` (edge-order path via the GNBlock engine) or
-        `ops.band.BandPattern` / `ops.band.GridPattern` (band-layout paths
-        — state.edges must then be [K, N, Fe]). All paths share one
-        parameter tree."""
-        banded = isinstance(op, (BandPattern, GridPattern))
+        `ops.band.BandPattern` / `GridPattern` / `EllPattern` (band-family
+        layout paths — state.edges must then be [K, N, Fe]). All paths
+        share one parameter tree."""
+        banded = isinstance(op, (BandPattern, GridPattern, EllPattern))
         v_out_final = self.n_out_vertex
         if self.decoder is not None:
             v_out_final = self.n_hidden

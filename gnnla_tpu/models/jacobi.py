@@ -64,6 +64,17 @@ def jacobi(op: SparseOperator, b, x, *, omega: float, n_iters: int,
 
     `diag` overrides A's diagonal — used by the trained-Jacobi model where
     D_i is a GNN output (must stay differentiable w.r.t. diag).
+
+    WARNING (trained diagonals): the learned D of the trainable-Jacobi
+    family is optimized as a SMOOTHER — it minimizes damping on the
+    high-frequency subspace only (Gelfand spectral loss,
+    training/spectral_loss.py). As a *standalone* iteration it diverges:
+    the committed artifact measures mean full-spectrum damping 2.19 > 1
+    for the learned D vs 0.997 for ω = 2/3
+    (artifacts/jacobi/results.json). Use a learned D inside a two-grid /
+    multigrid cycle (e.g. `setup_twogrid(A, diag=D)`), where the coarse
+    correction owns the smooth modes — the committed two-grid closure
+    (artifacts/jacobi/smoother_twogrid.json) quantifies the payoff.
     """
     b, x = jnp.ravel(b), jnp.ravel(x)
     d = op.diagonal() if diag is None else jnp.ravel(diag)

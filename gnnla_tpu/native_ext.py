@@ -40,6 +40,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "vanek_aggregate"):
         lib.vanek_aggregate.restype = ctypes.c_int64
         lib.vanek_aggregate.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+    if hasattr(lib, "rcm_order"):
+        f32p_ = ctypes.POINTER(ctypes.c_float)
+        lib.rcm_order.restype = None
+        lib.rcm_order.argtypes = [ctypes.c_int64, i64p, i64p, i64p]
+        lib.csr_permute_sym.restype = None
+        lib.csr_permute_sym.argtypes = [ctypes.c_int64, i64p, i64p, f32p_,
+                                        i64p, i64p, i64p, f32p_]
     if hasattr(lib, "stream_pack_plan"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         f32p = ctypes.POINTER(ctypes.c_float)
@@ -185,6 +192,49 @@ def stream_pack(indptr, cols, vals, n: int, n_cols: int, nb: int,
         tile_of_unit=tile_of_unit,
         tile_wstart=tile_wstart.astype(np.int32),
         w_sc=w_sc, kb=kb_out)
+
+
+def rcm_order(A_csr) -> Optional[np.ndarray]:
+    """Reverse Cuthill-McKee permutation of a symmetric-pattern CSR
+    matrix (native/graphbuild.cpp::rcm_order). Returns None when the
+    library isn't built; callers fall back to scipy's
+    reverse_cuthill_mckee (same George-Liu algorithm)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rcm_order"):
+        return None
+    n = A_csr.shape[0]
+    indptr = np.ascontiguousarray(A_csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A_csr.indices, dtype=np.int64)
+    perm = np.zeros(n, dtype=np.int64)
+    lib.rcm_order(n, _i64p(indptr), _i64p(indices), _i64p(perm))
+    return perm
+
+
+def csr_permute_sym(A_csr, perm) -> "Optional[object]":
+    """B = A[perm][:, perm] with sorted indices, as a scipy CSR (float32).
+    OpenMP-parallel native path; None when the library isn't built."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "csr_permute_sym"):
+        return None
+    import scipy.sparse as sp
+    n = A_csr.shape[0]
+    indptr = np.ascontiguousarray(A_csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A_csr.indices, dtype=np.int64)
+    data = np.ascontiguousarray(A_csr.data, dtype=np.float32)
+    perm = np.ascontiguousarray(perm, dtype=np.int64)
+    out_indptr = np.zeros(n + 1, dtype=np.int64)
+    out_indices = np.zeros(indices.size, dtype=np.int64)
+    out_data = np.zeros(data.size, dtype=np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.csr_permute_sym(n, _i64p(indptr), _i64p(indices),
+                        data.ctypes.data_as(f32p), _i64p(perm),
+                        _i64p(out_indptr), _i64p(out_indices),
+                        out_data.ctypes.data_as(f32p))
+    idt = np.int32 if (indices.size < 2 ** 31 and n < 2 ** 31) else np.int64
+    B = sp.csr_matrix((out_data, out_indices.astype(idt),
+                       out_indptr.astype(idt)), shape=A_csr.shape)
+    B.has_sorted_indices = True
+    return B
 
 
 def vanek_aggregate(G_csr) -> Optional[np.ndarray]:

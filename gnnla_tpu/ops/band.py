@@ -120,7 +120,7 @@ class GridBandLayout:
             raise ValueError(
                 f"not uniform: {rows.size} edges != {k} classes x {h * w} "
                 f"vertices — use BandLayout")
-        cnt = np.zeros((k, h * w), np.int8)
+        cnt = np.zeros((k, h * w), np.int32)
         np.add.at(cnt, (k_idx, rows), 1)
         if not (cnt == 1).all():
             raise ValueError("not uniform: some (class, vertex) slot is "
@@ -370,6 +370,188 @@ def band_global_multi(reduces: Sequence[str], bands: Array, mask: Array,
         else:
             raise ValueError(f"unknown reducer {r!r}")
     return jnp.concatenate(outs, axis=-1)
+
+
+class EllLayout:
+    """Slot-per-neighbor [K, N] edge layout — the zero-gather aggregation
+    path for UNSTRUCTURED patterns (k-NN / meshfree graphs, where
+    `BandLayout`'s K = #unique diagonal offsets explodes to thousands).
+
+    K = max row degree; the edges of row i occupy slots 0..deg[i]-1 in CSR
+    order, so the pad mask is simply `slot < deg[i]` — generated on the fly
+    inside jit from the [N] degree vector (one int32 stream) instead of a
+    [K, N] bool array. The 4-way (min, mean, sum, max) edge->vertex
+    aggregation (reference TrainableJacobiGNN.py:65-68,
+    LearnDiffusionCoeffs.py:303-341, torch_scatter there) is then a masked
+    reduction over axis 0: pure streaming reads, VPU reductions, ZERO
+    gathers. Packing [E] -> [K, N] happens on the host at setup
+    (fixed sparsity patterns), exactly like `BandLayout.pack`.
+
+    The source-vertex read (`EllPattern.neighbor`) is the one op that
+    stays a gather here (x[cols], no shift structure to exploit) — but the
+    aggregation, the broadcast, and the edge MLPs are all layout-native.
+    """
+
+    __slots__ = ("n", "k", "n_edges", "deg", "cols_ell",
+                 "_slot_of_edge", "_row_of_edge")
+
+    def __init__(self, rows: np.ndarray, cols: np.ndarray, n_vertices: int):
+        rows = np.asarray(rows)
+        cols = np.asarray(cols)
+        n = int(n_vertices)
+        n_edges = int(rows.shape[0])
+        deg = np.bincount(rows, minlength=n).astype(np.int32)
+        k = int(deg.max()) if n_edges else 1
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(deg, out=starts[1:])
+        if n_edges and bool((np.diff(rows) >= 0).all()):
+            slot = np.arange(n_edges, dtype=np.int64) - starts[rows]
+        else:
+            order = np.argsort(rows, kind="stable")
+            slot = np.empty(n_edges, np.int64)
+            slot[order] = np.arange(n_edges, dtype=np.int64) - \
+                starts[rows[order]]
+        cols_ell = np.zeros((k, n), np.int32)   # pad slots point at 0
+        cols_ell[slot, rows] = cols.astype(np.int32)
+        self.n = n
+        self.k = max(k, 1)
+        self.n_edges = n_edges
+        self.deg = deg
+        self.cols_ell = cols_ell
+        self._slot_of_edge = slot
+        self._row_of_edge = rows.astype(np.int64)
+
+    @classmethod
+    def from_operator(cls, op: SparseOperator) -> "EllLayout":
+        rows, cols, _ = op.host_coo()
+        return cls(rows, cols, op.n_rows)
+
+    # ------------------------------------------------------------- host
+    def pack(self, vals: np.ndarray) -> np.ndarray:
+        """[..., E] edge-order host values -> [..., K, N] slot order.
+
+        Pad slots (slot >= deg) are zero.
+        """
+        vals = np.asarray(vals)
+        if vals.shape[-1] != self.n_edges:
+            raise ValueError(f"pack: last axis {vals.shape[-1]} != "
+                             f"n_edges {self.n_edges}")
+        out = np.zeros(vals.shape[:-1] + (self.k, self.n), vals.dtype)
+        out[..., self._slot_of_edge, self._row_of_edge] = vals
+        return out
+
+    def unpack(self, slots: np.ndarray) -> np.ndarray:
+        slots = np.asarray(slots)
+        return slots[..., self._slot_of_edge, self._row_of_edge]
+
+
+def ell_mask(k: int, deg: Array) -> Array:
+    """[K, N] bool pad mask from the [N] int degree vector (fused by XLA
+    into whatever reduction consumes it — no [K, N] memory stream)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (k, deg.shape[0]), 0) \
+        < deg[None, :]
+
+
+def ell_multi_reduce(reduces: Sequence[str], slots: Array,
+                     deg: Array) -> Array:
+    """Concatenated masked reductions over the slot axis.
+
+    slots : [K, N] or [K, N, F] (pad slots may hold anything)
+    deg   : [N] int32 row degrees
+    returns [N, len(reduces) * F], matching
+    `ops.segment.multi_segment_reduce` semantics (empty rows -> 0).
+    """
+    k = slots.shape[0]
+    m = ell_mask(k, deg)
+    degf = jnp.maximum(deg, 1).astype(
+        slots.dtype if jnp.issubdtype(slots.dtype, jnp.floating)
+        else jnp.float32)
+    return band_multi_reduce(reduces, slots, m, degf)
+
+
+def ell_global_multi(reduces: Sequence[str], slots: Array, deg: Array,
+                     n_edges: int) -> Array:
+    k = slots.shape[0]
+    return band_global_multi(reduces, slots, ell_mask(k, deg), n_edges)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllPattern:
+    """Jit-side view of an `EllLayout`. Same GN-block method surface as
+    `BandPattern` / `GridPattern`, so block code is layout-agnostic.
+    `cols`/`deg` ride as pytree leaves (jit arguments for big patterns)."""
+
+    cols: Array    # [K, N] int32 (pad slots -> 0)
+    deg: Array     # [N] int32
+    n_edges: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return self.cols.shape[0]
+
+    @classmethod
+    def from_layout(cls, lay: EllLayout) -> "EllPattern":
+        return cls(cols=jnp.asarray(lay.cols_ell),
+                   deg=jnp.asarray(lay.deg), n_edges=lay.n_edges)
+
+    @classmethod
+    def from_operator(cls, op: SparseOperator) -> "EllPattern":
+        return cls.from_layout(EllLayout.from_operator(op))
+
+    # ------------------------------------------- GN-block method surface
+    def neighbor(self, x: Array) -> Array:
+        return x[self.cols]          # [K, N] (+feature axes) gather
+
+    def broadcast(self, y: Array) -> Array:
+        return band_broadcast(y, self.k)
+
+    def mask_pads(self, e: Array) -> Array:
+        return jnp.where(ell_mask(self.k, self.deg)[:, :, None], e, 0.0)
+
+    def multi(self, reduces: Sequence[str], e: Array) -> Array:
+        return ell_multi_reduce(reduces, e, self.deg)
+
+    def global_multi(self, reduces: Sequence[str], e: Array) -> Array:
+        return ell_global_multi(reduces, e, self.deg, self.n_edges)
+
+
+def choose_edge_layout(op: SparseOperator, grid_shape=None):
+    """Pick the cheapest zero-gather edge layout for a fixed pattern.
+
+    Returns (layout, pattern, kind) with kind in {"grid", "band", "ell"}:
+      grid  uniform periodic grid pattern (mask-free, roll neighbor reads)
+      band  banded pattern whose #unique-offsets is within 4x the max
+            degree (shift neighbor reads, masked reduce)
+      ell   everything else — unstructured graphs, where the diagonal-
+            offset count explodes; slot-per-neighbor layout (gather
+            neighbor reads, zero-gather reduce)
+
+    A non-uniform pattern that *requested* grid_shape logs a warning
+    (the fallback costs ~2x edge storage — a production run should know).
+    """
+    import warnings
+
+    if grid_shape is not None:
+        try:
+            lay = GridBandLayout(op, *grid_shape)
+            return lay, GridPattern.from_layout(lay), "grid"
+        except ValueError as e:
+            warnings.warn(
+                f"grid layout requested but pattern is not uniform "
+                f"({e}); falling back to a masked layout (~2x edge "
+                f"storage)", stacklevel=2)
+    rows, cols, _ = op.host_coo()
+    n_offsets = int(np.unique(cols.astype(np.int64)
+                              - rows.astype(np.int64)).size) if rows.size \
+        else 1
+    max_deg = int(np.bincount(rows, minlength=op.n_rows).max()) \
+        if rows.size else 1
+    if n_offsets <= 4 * max_deg:
+        lay = BandLayout(op)
+        return lay, BandPattern.from_layout(lay), "band"
+    lay = EllLayout(rows, cols, op.n_rows)
+    return lay, EllPattern.from_layout(lay), "ell"
 
 
 def band_spmv(bands: Array, offsets: Sequence[int], x: Array) -> Array:

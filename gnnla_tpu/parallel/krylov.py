@@ -27,19 +27,24 @@ def make_sharded_mg_pcg(setup, mesh: Mesh, axis: str = "rows", *,
                         n_smooth: int = 1, omega: float = 0.7,
                         coarse_deg: int = 8, flip_sign: bool = False,
                         min_sharded_rows: int = 32768,
-                        n_sharded_levels=None):
+                        n_sharded_levels=None, globalize=None):
     """Returns (solve, part): solve(b_sh, x0_sh, n_iters) -> (x_sh, hist).
 
     b/x0 are `[S, R]` vectors sharded by `part` (build with
     `shard_vector(v, part)` + `device_put_sharded`); hist is the [n_iters]
-    residual-norm history (host numpy). `flip_sign=True` solves with the
+    residual-norm history (host numpy, fetched ONCE after the loop — no
+    per-iteration device->host sync). `flip_sign=True` solves with the
     negated operator (negative-definite FD Laplacian convention), exactly
-    as `models.krylov.mg_pcg`.
+    as `models.krylov.mg_pcg`. `globalize` is forwarded to
+    `make_sharded_multigrid_cycle` for multi-process (`jax.distributed`)
+    runs — exercised across real process boundaries in
+    tests/multihost_worker.py.
     """
+    kw = {} if globalize is None else {"globalize": globalize}
     cycle, part = make_sharded_multigrid_cycle(
         setup, mesh, axis, n_pre=n_smooth, n_post=n_smooth, omega=omega,
         coarse_deg=coarse_deg, min_sharded_rows=min_sharded_rows,
-        n_sharded_levels=n_sharded_levels)
+        n_sharded_levels=n_sharded_levels, **kw)
     mvec = make_sharded_matvec(part, mesh, axis)
     s = -1.0 if flip_sign else 1.0
 
@@ -70,7 +75,8 @@ def make_sharded_mg_pcg(setup, mesh: Mesh, axis: str = "rows", *,
             beta = rz_new / jnp.where(rz == 0, 1.0, rz)
             p = z + beta * p
             rz = rz_new
-            hist.append(float(jnp.sqrt(jnp.sum(r * r))))
-        return x, hist
+            hist.append(jnp.sqrt(jnp.sum(r * r)))
+        import numpy as np
+        return x, np.asarray(jnp.stack(hist)) if hist else np.zeros(0)
 
     return solve, part

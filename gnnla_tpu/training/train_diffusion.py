@@ -93,25 +93,18 @@ def make_apply_banded(model: DiffusionGNN, ds: StackedGraphs,
     diffusion FEM bucket), the layout is the stencil-class `GridPattern`:
     K = 8 mask-free classes with 2-D-roll neighbor reads — ~2.5x less
     edge storage than the general `BandLayout`, whose periodic wraps
-    explode into ~20 offsets. Falls back to `BandLayout` otherwise.
+    explode into ~20 offsets. Non-grid patterns route through
+    `ops.band.choose_edge_layout` (band for banded, ELL slot layout for
+    unstructured; a requested-but-unusable grid logs a warning).
 
     apply(params, ov_bands [B, K, N], diags [B, N], g [B, 1]) -> [B, N, 2];
     pack(offdiag_vals [B, E]) -> [B, K, N] (host numpy, done once per
     split). Same parameter tree as `make_apply` (tests assert forward
     parity)."""
-    from gnnla_tpu.ops.band import (BandLayout, BandPattern, GridBandLayout,
-                                    GridPattern)
+    from gnnla_tpu.ops.band import choose_edge_layout
 
-    lay = None
-    if grid_shape is not None:
-        try:
-            lay = GridBandLayout(ds.template_nodiag, *grid_shape)
-            pat = GridPattern.from_layout(lay)
-        except ValueError:
-            lay = None
-    if lay is None:
-        lay = BandLayout(ds.template_nodiag)
-        pat = BandPattern.from_layout(lay)
+    lay, pat, _kind = choose_edge_layout(ds.template_nodiag,
+                                         grid_shape=grid_shape)
     # static rel-coord planes in band order: [E, 2] -> [K, N, 2]
     rel_b = jnp.asarray(
         np.moveaxis(lay.pack(np.ascontiguousarray(np.asarray(rel).T)), 0, -1),

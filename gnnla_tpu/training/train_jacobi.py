@@ -54,6 +54,16 @@ class TrainJacobiConfig:
     # pattern) or "stencil" (grid-roll planes — the fastest layout for
     # square-grid buckets; numerics identical, tests assert parity)
     loss_layout: str = "dia"
+    # stability regularization (round-5 extension, NOT in the reference):
+    # the reference's pure high-frequency Gelfand loss produces diagonals
+    # whose full-spectrum damping is ~2.19 > 1 — they diverge standalone
+    # AND inside a two-grid cycle (artifacts/jacobi/smoother_twogrid.json
+    # measures cycle rho 3.3 vs 0.66 for omega=2/3). stability_weight > 0
+    # adds  w * relu(gelfand(random probes) - margin)^2, penalizing
+    # amplification anywhere in the spectrum, which makes the learned D a
+    # usable cycle smoother (scripts/reproduce_jacobi_stable.py).
+    stability_weight: float = 0.0
+    stability_margin: float = 1.0
     cache_dir: Optional[str] = "data_cache"
     checkpoint_dir: Optional[str] = None
     log_every: int = 1
@@ -71,7 +81,8 @@ def feature_stack(ds: StackedGraphs) -> np.ndarray:
 
 
 def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
-                 layout: str = "dia"):
+                 layout: str = "dia", stability_weight: float = 0.0,
+                 stability_margin: float = 1.0):
     """Batched spectral loss, gather-free end to end.
 
     The vertex features (A_ii + 4-way off-diagonal aggregation) run on the
@@ -124,12 +135,19 @@ def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
         raise ValueError(f"unknown loss layout {layout!r}; "
                          "expected 'dia' or 'stencil'")
 
-    def loss_fn(params, mats, band_ov, diags, probes):
+    def loss_fn(params, mats, band_ov, diags, probes, probes_full=None):
         def one_feats(bo, d):
             feats = jacobi_diag_features_banded(d, bo, f_mask, f_deg)
             return jnp.ravel(model.apply(params, feats))
         dvals = jax.vmap(one_feats)(band_ov, diags)
-        return jnp.mean(jax.vmap(one)(mats, dvals, probes))
+        loss = jnp.mean(jax.vmap(one)(mats, dvals, probes))
+        if probes_full is not None and stability_weight:
+            # full-spectrum Gelfand factor on unfiltered random probes:
+            # > margin means the sweep amplifies somewhere — penalize
+            gfull = jax.vmap(one)(mats, dvals, probes_full)
+            loss = loss + stability_weight * jnp.mean(
+                jax.nn.relu(gfull - stability_margin) ** 2)
+        return loss
 
     return loss_fn
 
@@ -228,7 +246,10 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     opt_state = tx.init(params)
 
     loss_fn = make_loss_fn(model, dataset, cfg.omega, cfg.gelfand_k,
-                           layout=cfg.loss_layout)
+                           layout=cfg.loss_layout,
+                           stability_weight=cfg.stability_weight,
+                           stability_margin=cfg.stability_margin)
+    stab = cfg.stability_weight > 0
     tr_mat = matrix_stack(tr, cfg.loss_layout)
     va_mat = matrix_stack(va, cfg.loss_layout)
     te_mat = matrix_stack(te, cfg.loss_layout)
@@ -237,14 +258,24 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     va_ov = feature_stack(va)
     te_ov = feature_stack(te)
 
-    def train_step(params, opt_state, mats, band_ov, diags,
-                   probes, plateau_value):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, mats, band_ov, diags, probes)
-        updates, opt_state = tx.update(grads, opt_state, params,
-                                       value=plateau_value)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+    if stab:
+        def train_step(params, opt_state, mats, band_ov, diags,
+                       probes, probes_full, plateau_value):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, mats, band_ov, diags, probes, probes_full)
+            updates, opt_state = tx.update(grads, opt_state, params,
+                                           value=plateau_value)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+    else:
+        def train_step(params, opt_state, mats, band_ov, diags,
+                       probes, plateau_value):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, mats, band_ov, diags, probes)
+            updates, opt_state = tx.update(grads, opt_state, params,
+                                           value=plateau_value)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -255,10 +286,10 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
                 f"{ndev} devices")
         s_b = NamedSharding(mesh, P("data"))
         s_r = NamedSharding(mesh, P())
-        train_step = jax.jit(
-            train_step,
-            in_shardings=(s_r, s_r, s_b, s_b, s_b, s_b, s_r),
-            out_shardings=(s_r, s_r, s_r))
+        sh_in = ((s_r, s_r, s_b, s_b, s_b, s_b, s_b, s_r) if stab
+                 else (s_r, s_r, s_b, s_b, s_b, s_b, s_r))
+        train_step = jax.jit(train_step, in_shardings=sh_in,
+                             out_shardings=(s_r, s_r, s_r))
         # eval batches (val/test) need not divide the mesh: replicate them
         eval_loss = jax.jit(loss_fn,
                             in_shardings=(s_r, s_r, s_r, s_r, s_r),
@@ -288,11 +319,15 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
             if len(idx) < cfg.batch_size:
                 break  # keep shapes static; drop ragged tail
             probes = _draw_probes(tr, idx, cfg.m_probes, rng)
+            args = (params, opt_state,
+                    as_f32(tr_mat[idx]), as_f32(tr_ov[idx]),
+                    as_f32(tr.diags[idx]), as_f32(probes))
+            if stab:
+                n_v = dataset.template.n_rows
+                pf = rng.standard_normal((len(idx), n_v, cfg.m_probes))
+                args = args + (as_f32(pf),)
             params, opt_state, loss = train_step(
-                params, opt_state,
-                as_f32(tr_mat[idx]), as_f32(tr_ov[idx]),
-                as_f32(tr.diags[idx]), as_f32(probes),
-                jnp.asarray(val_loss, jnp.float32))
+                *args, jnp.asarray(val_loss, jnp.float32))
             epoch_loss += float(loss) * len(idx)
             n_seen += len(idx)
 

@@ -1,0 +1,112 @@
+"""Train the STABILITY-REGULARIZED Jacobi diagonal (round-5 extension).
+
+The reference's pure high-frequency Gelfand loss yields a learned D whose
+full-spectrum damping is ~2.19 > 1: it diverges standalone AND inside a
+two-grid cycle (artifacts/jacobi/smoother_twogrid.json: cycle rho 3.3 vs
+0.66 for omega = 2/3). This driver trains the same model with
+`TrainJacobiConfig.stability_weight > 0` — an added penalty
+w * relu(gelfand(random probes) - margin)^2 that forbids amplification
+anywhere in the spectrum — producing a diagonal that is BOTH a better
+high-frequency smoother than omega = 2/3 AND a usable (convergent) cycle
+smoother. The reference has no counterpart; this is the solver-level
+closure VERDICT r4 item 7 asked for.
+
+Artifacts under artifacts/jacobi/:
+  params_stable.npz, results_stable.json
+(scripts/smoother_twogrid.py then adds the cycle-rho comparison.)
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/reproduce_jacobi_stable.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from gnnla_tpu.evaluation.eigen_analysis import eigen_analysis
+from gnnla_tpu.training.checkpoints import save_params_npz
+from gnnla_tpu.training.datasets import small_band_dataset
+from gnnla_tpu.training.train_jacobi import (TrainJacobiConfig,
+                                             evaluate_vs_baselines, train)
+
+
+def main(out_dir=None, epochs=62, num_matrices=1000, weight=2.0,
+         margin=0.98):
+    out_dir = out_dir or os.path.join(ROOT, "artifacts", "jacobi")
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = TrainJacobiConfig(num_matrices=num_matrices, epochs=epochs,
+                            loss_layout="dia", stability_weight=weight,
+                            stability_margin=margin,
+                            cache_dir=os.path.join(ROOT, "data_cache"))
+    if num_matrices < 1000:
+        cfg.n_train = max(1, int(num_matrices * 0.8))
+        cfg.n_val = max(1, int(num_matrices * 0.05))
+        cfg.n_test = num_matrices - cfg.n_train - cfg.n_val
+        cfg.batch_size = min(cfg.batch_size, cfg.n_train)
+
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    warm = threading.Thread(
+        target=lambda: float(jnp.sum(jnp.ones(8))), daemon=True)
+    warm.start()
+    ds = small_band_dataset(cfg.num_matrices, n=cfg.n_mesh, h_low=cfg.h_low,
+                            seed=cfg.seed, cache_dir=cfg.cache_dir)
+    warm.join()
+
+    t0 = time.time()
+    params, history = train(cfg, dataset=ds)
+    train_s = time.time() - t0
+    print(f"training: {train_s:.1f}s on {jax.devices()[0]}", flush=True)
+    save_params_npz(os.path.join(out_dir, "params_stable.npz"), params)
+
+    rng = np.random.default_rng(cfg.seed)
+    perm = rng.permutation(ds.n_graphs)
+    te = ds.select(perm[cfg.n_train + cfg.n_val:
+                        cfg.n_train + cfg.n_val + cfg.n_test])
+
+    analysis = eigen_analysis(params, te)
+    hf = {
+        "learned": float(np.mean(analysis["evals_learn_DinvA"].max(axis=1))),
+        "w1": float(np.mean(analysis["evals_DinvA"].max(axis=1))),
+        "w23": float(np.mean(analysis["evals_TwoThirds_DinvA"].max(axis=1))),
+        "opt": float(np.mean(analysis["evals_opt_DinvA"].max(axis=1))),
+    }
+    full = evaluate_vs_baselines(params, te, cfg)
+
+    results = {
+        "config": {k: v for k, v in vars(cfg).items()
+                   if isinstance(v, (int, float, str, bool, tuple, list))},
+        "test_loss_gelfand": history.get("test_loss"),
+        "highfreq_damping_mean": hf,
+        "fullspectrum_damping_mean": full,
+        "n_test_matrices": int(te.n_graphs),
+        "train_seconds": train_s,
+    }
+    with open(os.path.join(out_dir, "results_stable.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("high-freq damping:", {k: round(v, 4) for k, v in hf.items()})
+    print("full-spectrum:    ", {k: round(v, 4) for k, v in full.items()})
+    print("stable smoother:" if full["learned"] <= 1.05 else
+          "STILL UNSTABLE:", full["learned"])
+    return results
+
+
+if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=62)
+    p.add_argument("--num-matrices", type=int, default=1000)
+    p.add_argument("--weight", type=float, default=2.0)
+    p.add_argument("--margin", type=float, default=0.98)
+    p.add_argument("--out-dir", default=None)
+    a = p.parse_args()
+    main(a.out_dir, a.epochs, a.num_matrices, a.weight, a.margin)

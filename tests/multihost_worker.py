@@ -21,9 +21,11 @@ def main() -> None:
     pid, nproc = int(sys.argv[1]), int(sys.argv[2])
     coordinator, outdir = sys.argv[3], sys.argv[4]
 
-    # Same platform override as tests/conftest.py: the image's
-    # sitecustomize imports jax and pins the TPU backend before user code;
-    # override the loaded config and reset the backend cache.
+    # The spawner (tests/test_multihost.py) disables the image's axon
+    # sitecustomize via env (PALLAS_AXON_POOL_IPS unset) and sets
+    # JAX_PLATFORMS=cpu, so the first jax import lands on CPU directly.
+    # The backend reset below is a guarded FALLBACK for launches that
+    # didn't scrub the env (it is a no-op under the normal spawner).
     os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
@@ -126,10 +128,28 @@ def main() -> None:
                                   - x_ref_sr[shard.index])) / scale)
         assert err < 1e-4, (shard.index, err)
 
+    # --- distributed multilevel PCG across the process boundary ----------
+    # (the full solver: cycle-preconditioned CG with cross-process psum
+    # inner products; ADVICE r4 — previously unvalidated multi-process)
+    from gnnla_tpu.parallel.krylov import make_sharded_mg_pcg
+
+    solve, part_p = make_sharded_mg_pcg(
+        ml, mesh, coarse_deg=4, flip_sign=True,
+        globalize=lambda s, r: (to_global(s, mesh),
+                                replicate_global(r, mesh)))
+    b_p = to_global(np.asarray(shard_vector(b_ml, part_p)), mesh)
+    x0_p = to_global(np.asarray(shard_vector(np.zeros(n, np.float32),
+                                             part_p)), mesh)
+    _, hist_p = solve(b_p, x0_p, n_iters=8)
+    bnorm = float(np.linalg.norm(b_ml))
+    pcg_red = float(hist_p[-1]) / bnorm
+    assert pcg_red < 1e-5, (list(map(float, hist_p)), bnorm)
+
     with open(os.path.join(outdir, f"ok_{pid}.json"), "w") as f:
         json.dump({"pid": pid, "n_devices": n_dev,
                    "lam": float(lam_all.ravel()[0]), "lam_true": lam_true,
-                   "lam_err": lam_err, "mg_levels": ml.n_levels}, f)
+                   "lam_err": lam_err, "mg_levels": ml.n_levels,
+                   "pcg_rel_residual": pcg_red}, f)
 
 
 if __name__ == "__main__":

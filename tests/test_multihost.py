@@ -43,6 +43,10 @@ def test_two_process_distributed_spmv_and_powermethod(tmp_path):
         p for p in (repo_root, env.get("PYTHONPATH")) if p)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)  # worker sets its own device count (4)
+    # disable the axon sitecustomize (its top-level gate) so the worker's
+    # first jax import honors JAX_PLATFORMS=cpu — no private backend-reset
+    # API needed (the worker keeps a guarded fallback)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.setdefault("TPU_SKIP_MDS_QUERY", "1")
 
     procs = [

@@ -138,3 +138,57 @@ def test_stream_pack_native_spmv_correct():
         .astype(np.float32)
     y = emulate_stream(f, x)
     np.testing.assert_allclose(y, lap @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_native_rcm_asymmetric_pattern():
+    """rcm_order must return a valid permutation on ASYMMETRIC patterns
+    (regression: the pseudo-peripheral BFS could wander into finished
+    components and corrupt the permutation -> heap corruption in
+    csr_permute_sym)."""
+    import scipy.sparse as sp
+
+    from gnnla_tpu import native_ext
+    if not native_ext.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(3)
+    n = 500
+    A = sp.random(n, n, density=0.01, random_state=5, format="csr",
+                  dtype=np.float32)  # directed: pattern != pattern.T
+    A.sort_indices()
+    perm = native_ext.rcm_order(A)
+    assert np.array_equal(np.sort(perm), np.arange(n))
+    B = native_ext.csr_permute_sym(A, perm)
+    Bref = A[perm][:, perm].tocsr()
+    Bref.sort_indices()
+    assert (B != Bref).nnz == 0
+    assert B.nnz == A.nnz
+
+
+def test_native_rcm_matches_scipy_quality():
+    """On a symmetric banded-ish pattern the native RCM bandwidth is
+    within 2x of scipy's (same algorithm family; exact orders differ)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    from gnnla_tpu import native_ext
+    if not native_ext.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    n = 1000
+    rows = np.arange(n - 1)
+    r = np.concatenate([rows, rng.integers(0, n, 300)])
+    c = np.concatenate([rows + 1, rng.integers(0, n, 300)])
+    A = sp.coo_matrix((np.ones(r.size, np.float32), (r, c)),
+                      shape=(n, n)).tocsr()
+    A = (A + A.T).tocsr()
+    A.sort_indices()
+
+    def bw(M):
+        Mc = M.tocoo()
+        return int(np.abs(Mc.row.astype(np.int64) - Mc.col).max())
+
+    perm = native_ext.rcm_order(A)
+    B = native_ext.csr_permute_sym(A, perm)
+    ps = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    Bs = A[ps][:, ps].tocsr()
+    assert bw(B) <= 2 * max(bw(Bs), 1)
