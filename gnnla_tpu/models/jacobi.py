@@ -71,10 +71,13 @@ def jacobi(op: SparseOperator, b, x, *, omega: float, n_iters: int,
     training/spectral_loss.py). As a *standalone* iteration it diverges:
     the committed artifact measures mean full-spectrum damping 2.19 > 1
     for the learned D vs 0.997 for ω = 2/3
-    (artifacts/jacobi/results.json). Use a learned D inside a two-grid /
-    multigrid cycle (e.g. `setup_twogrid(A, diag=D)`), where the coarse
-    correction owns the smooth modes — the committed two-grid closure
-    (artifacts/jacobi/smoother_twogrid.json) quantifies the payoff.
+    (artifacts/jacobi/results.json). The committed two-grid closure
+    (artifacts/jacobi/smoother_twogrid.json) shows the amplification even
+    outruns an exact coarse correction (cycle rho 3.3) — a
+    reference-recipe D must NOT be used in a cycle either. Train with
+    `TrainJacobiConfig.stability_weight > 0`
+    (scripts/reproduce_jacobi_stable.py) for a diagonal whose cycle
+    converges (rho 0.666, parity with omega = 2/3).
     """
     b, x = jnp.ravel(b), jnp.ravel(x)
     d = op.diagonal() if diag is None else jnp.ravel(diag)

@@ -62,8 +62,14 @@ class TrainJacobiConfig:
     # adds  w * relu(gelfand(random probes) - margin)^2, penalizing
     # amplification anywhere in the spectrum, which makes the learned D a
     # usable cycle smoother (scripts/reproduce_jacobi_stable.py).
+    # margin is in units of the k-step Gelfand PROXY, which overestimates
+    # rho for non-normal propagators (transient growth): the stable
+    # omega=2/3 baseline itself measures ~2.2 at k=3 and ~1.2 at k=10 on
+    # random probes. The penalty therefore runs at its own deeper
+    # stability_k with a margin calibrated to the baseline's k=10 level.
     stability_weight: float = 0.0
-    stability_margin: float = 1.0
+    stability_margin: float = 1.2
+    stability_k: int = 10
     cache_dir: Optional[str] = "data_cache"
     checkpoint_dir: Optional[str] = None
     log_every: int = 1
@@ -82,7 +88,7 @@ def feature_stack(ds: StackedGraphs) -> np.ndarray:
 
 def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
                  layout: str = "dia", stability_weight: float = 0.0,
-                 stability_margin: float = 1.0):
+                 stability_margin: float = 1.2, stability_k: int = 10):
     """Batched spectral loss, gather-free end to end.
 
     The vertex features (A_ii + 4-way off-diagonal aggregation) run on the
@@ -120,20 +126,23 @@ def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
         offsets, _ = ds.dia_stack()
         nnz = ds.template.nnz
 
-        def one(mat, d, y):
+        def one_k(mat, d, y, kk):
             op = DIAOperator(diags=mat, offsets=offsets, n=n, nnz=nnz)
             return spectral_loss.damping_factor_gelfand(op, d, omega, y,
-                                                        k=k)
+                                                        k=kk)
     elif layout == "stencil":
         shifts, h, w = _stencil_meta(ds)
 
-        def one(mat, d, y):
+        def one_k(mat, d, y, kk):
             return spectral_loss.damping_factor_gelfand_stencil(
                 mat, shifts, d.reshape(h, w), omega,
-                y.reshape(h, w, -1), k=k)
+                y.reshape(h, w, -1), k=kk)
     else:
         raise ValueError(f"unknown loss layout {layout!r}; "
                          "expected 'dia' or 'stencil'")
+
+    def one(mat, d, y):
+        return one_k(mat, d, y, k)
 
     def loss_fn(params, mats, band_ov, diags, probes, probes_full=None):
         def one_feats(bo, d):
@@ -142,9 +151,13 @@ def make_loss_fn(model, ds: StackedGraphs, omega: float, k: int,
         dvals = jax.vmap(one_feats)(band_ov, diags)
         loss = jnp.mean(jax.vmap(one)(mats, dvals, probes))
         if probes_full is not None and stability_weight:
-            # full-spectrum Gelfand factor on unfiltered random probes:
-            # > margin means the sweep amplifies somewhere — penalize
-            gfull = jax.vmap(one)(mats, dvals, probes_full)
+            # full-spectrum Gelfand factor on unfiltered random probes at
+            # the deeper stability_k (the k-th-root proxy overestimates
+            # rho for non-normal T; see TrainJacobiConfig): above the
+            # calibrated margin means the sweep amplifies — penalize
+            gfull = jax.vmap(
+                lambda m, dv, p: one_k(m, dv, p, stability_k))(
+                    mats, dvals, probes_full)
             loss = loss + stability_weight * jnp.mean(
                 jax.nn.relu(gfull - stability_margin) ** 2)
         return loss
@@ -212,7 +225,8 @@ def _draw_probes(ds: StackedGraphs, idx, m, rng):
 
 
 def train(config: TrainJacobiConfig = TrainJacobiConfig(),
-          dataset: Optional[StackedGraphs] = None, mesh=None):
+          dataset: Optional[StackedGraphs] = None, mesh=None,
+          init_params=None):
     """Returns (params, history dict).
 
     `mesh` (or cfg.n_devices) turns on data-parallel training: batch
@@ -220,6 +234,11 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     optimizer state are replicated, and XLA inserts the gradient psum —
     the jitted step is the same pure function either way (the pattern
     validated by __graft_entry__.dryrun_multichip).
+
+    `init_params` warm-starts from an existing parameter tree (used by
+    the two-phase stability fine-tune, scripts/reproduce_jacobi_stable.py:
+    phase 1 trains the reference loss, phase 2 pulls the diagonal back
+    into the stable set with the penalty active).
     """
     cfg = config
     if mesh is None and cfg.n_devices:
@@ -240,6 +259,8 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     model = TrainableJacobiMLP(widths=cfg.widths, init_scheme=cfg.init_scheme)
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key, jnp.zeros((1, 5), jnp.float32))
+    if init_params is not None:
+        params = init_params
 
     tx = optax.chain(optax.adam(cfg.lr), reduce_on_plateau(factor=0.1,
                                                            patience=10))
@@ -248,7 +269,8 @@ def train(config: TrainJacobiConfig = TrainJacobiConfig(),
     loss_fn = make_loss_fn(model, dataset, cfg.omega, cfg.gelfand_k,
                            layout=cfg.loss_layout,
                            stability_weight=cfg.stability_weight,
-                           stability_margin=cfg.stability_margin)
+                           stability_margin=cfg.stability_margin,
+                           stability_k=cfg.stability_k)
     stab = cfg.stability_weight > 0
     tr_mat = matrix_stack(tr, cfg.loss_layout)
     va_mat = matrix_stack(va, cfg.loss_layout)

@@ -3,13 +3,16 @@
 The reference's pure high-frequency Gelfand loss yields a learned D whose
 full-spectrum damping is ~2.19 > 1: it diverges standalone AND inside a
 two-grid cycle (artifacts/jacobi/smoother_twogrid.json: cycle rho 3.3 vs
-0.66 for omega = 2/3). This driver trains the same model with
+0.66 for omega = 2/3). This driver fine-tunes the same model with
 `TrainJacobiConfig.stability_weight > 0` — an added penalty
-w * relu(gelfand(random probes) - margin)^2 that forbids amplification
-anywhere in the spectrum — producing a diagonal that is BOTH a better
-high-frequency smoother than omega = 2/3 AND a usable (convergent) cycle
-smoother. The reference has no counterpart; this is the solver-level
-closure VERDICT r4 item 7 asked for.
+w * relu(gelfand(random probes, deep k) - margin)^2 that forbids
+amplification anywhere in the spectrum — producing a diagonal whose
+two-grid cycle CONVERGES at parity with omega = 2/3 (measured mean rho
+0.666 vs 0.657). The measured trade-off is the finding: constraining to
+stability costs the high-frequency advantage, i.e. the reference's
+headline metric does not transfer to solver-level gains. The reference
+has no counterpart experiment; this is the solver-level closure VERDICT
+r4 item 7 asked for.
 
 Artifacts under artifacts/jacobi/:
   params_stable.npz, results_stable.json
@@ -37,13 +40,21 @@ from gnnla_tpu.training.train_jacobi import (TrainJacobiConfig,
                                              evaluate_vs_baselines, train)
 
 
-def main(out_dir=None, epochs=62, num_matrices=1000, weight=2.0,
-         margin=0.98):
+def main(out_dir=None, epochs=40, num_matrices=1000, weight=1.0,
+         margin=1.22, k_stab=10):
+    """Two-phase: warm-start from the committed reference-recipe params
+    (artifacts/jacobi/params.npz — phase 1, the pure high-frequency
+    loss), then fine-tune with the stability penalty active, pulling the
+    diagonal back into the stable set from the GOOD side of the
+    trade-off. Training the penalty from scratch instead converges to an
+    over-conservative basin (measured: high-freq damping 0.87 vs the
+    warm-started run — the penalty gradient dominates early)."""
     out_dir = out_dir or os.path.join(ROOT, "artifacts", "jacobi")
     os.makedirs(out_dir, exist_ok=True)
     cfg = TrainJacobiConfig(num_matrices=num_matrices, epochs=epochs,
                             loss_layout="dia", stability_weight=weight,
-                            stability_margin=margin,
+                            stability_margin=margin, stability_k=k_stab,
+                            lr=3e-3,
                             cache_dir=os.path.join(ROOT, "data_cache"))
     if num_matrices < 1000:
         cfg.n_train = max(1, int(num_matrices * 0.8))
@@ -62,8 +73,20 @@ def main(out_dir=None, epochs=62, num_matrices=1000, weight=2.0,
                             seed=cfg.seed, cache_dir=cfg.cache_dir)
     warm.join()
 
+    init_params = None
+    ref_path = os.path.join(out_dir, "params.npz")
+    if os.path.exists(ref_path):
+        from gnnla_tpu.models.trainable_jacobi import TrainableJacobiMLP
+        from gnnla_tpu.training.checkpoints import load_params_npz
+        model0 = TrainableJacobiMLP(widths=cfg.widths,
+                                    init_scheme=cfg.init_scheme)
+        template = model0.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 5), jnp.float32))
+        init_params = load_params_npz(ref_path, template)
+        print("warm-starting from artifacts/jacobi/params.npz", flush=True)
+
     t0 = time.time()
-    params, history = train(cfg, dataset=ds)
+    params, history = train(cfg, dataset=ds, init_params=init_params)
     train_s = time.time() - t0
     print(f"training: {train_s:.1f}s on {jax.devices()[0]}", flush=True)
     save_params_npz(os.path.join(out_dir, "params_stable.npz"), params)
@@ -103,10 +126,11 @@ def main(out_dir=None, epochs=62, num_matrices=1000, weight=2.0,
 if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
-    p.add_argument("--epochs", type=int, default=62)
+    p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--num-matrices", type=int, default=1000)
-    p.add_argument("--weight", type=float, default=2.0)
-    p.add_argument("--margin", type=float, default=0.98)
+    p.add_argument("--weight", type=float, default=1.0)
+    p.add_argument("--margin", type=float, default=1.22)
+    p.add_argument("--stability-k", type=int, default=10)
     p.add_argument("--out-dir", default=None)
     a = p.parse_args()
-    main(a.out_dir, a.epochs, a.num_matrices, a.weight, a.margin)
+    main(a.out_dir, a.epochs, a.num_matrices, a.weight, a.margin, a.stability_k)

@@ -157,12 +157,15 @@ def test_smoother_twogrid_artifact():
     assert sm["convfac_learned_mean"] > 1.0          # documented divergence
     if "convfac_stable_mean" in sm:
         assert sm["convfac_stable_mean"] < 1.0       # stabilized D usable
+        # parity with the omega=2/3 cycle (within 5%), not divergence
+        assert sm["convfac_stable_mean"] < 1.05 * sm["convfac_w23_mean"]
         rs = os.path.join(JAC, "results_stable.json")
         if os.path.exists(rs):
             with open(rs) as f:
                 st = json.load(f)
-            # still a better high-freq smoother than omega = 2/3, and
-            # full-spectrum stable (the regularization target)
-            hf = st["highfreq_damping_mean"]
-            assert hf["learned"] < hf["w23"]
-            assert st["fullspectrum_damping_mean"]["learned"] < 1.1
+            # the regularization target: full-spectrum stable (~<= 1),
+            # at the measured cost of the high-freq advantage (the
+            # honest finding rendered into PERF.md)
+            assert st["fullspectrum_damping_mean"]["learned"] < 1.05
+            assert st["highfreq_damping_mean"]["learned"] < \
+                st["highfreq_damping_mean"]["w1"] + 0.1

@@ -437,3 +437,23 @@ def test_diffusion_grid_path_matches_edge_path():
     # grid pack roundtrip
     np.testing.assert_array_equal(lay.unpack(lay.pack(ds.offdiag_vals[0])),
                                   ds.offdiag_vals[0])
+
+
+def test_train_jacobi_stability_regularized(tmp_path):
+    """stability_weight > 0 threads full-spectrum probes through the
+    step; the run stays finite and the regularized loss still decreases
+    (the round-5 cycle-smoother extension, reproduce_jacobi_stable.py)."""
+    cfg = TrainJacobiConfig(num_matrices=16, n_mesh=10, epochs=6,
+                            batch_size=8, n_train=12, n_val=2, n_test=2,
+                            m_probes=6, stability_weight=2.0,
+                            stability_margin=1.2, stability_k=6,
+                            cache_dir=str(tmp_path), log_every=0)
+    params, history = train_jacobi(cfg)
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert np.isfinite(history["test_loss"])
+    # the penalty biases the diagonal toward full-spectrum stability:
+    # exact damping must sit well below the unregularized ~2.19 blowup
+    from gnnla_tpu.training import evaluate_vs_baselines, small_band_dataset
+    ds = small_band_dataset(4, n=10, seed=99, cache_dir=str(tmp_path))
+    res = evaluate_vs_baselines(params, ds, cfg, max_graphs=4)
+    assert res["learned"] < 1.5
