@@ -5,7 +5,7 @@ import time
 
 MODULES = ["matvec", "residual_norm", "jacobi", "chebyshev", "power_method",
            "soc_interp", "vcycle", "multigrid_pcg", "train_jacobi", "train_diffusion",
-           "band_layout", "distributed"]
+           "band_layout", "unstructured_ell", "distributed"]
 
 
 def main():

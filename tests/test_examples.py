@@ -29,6 +29,7 @@ SMALL = {
     "train_jacobi": {},       # example configs are already demo-sized
     "train_diffusion": {},
     "band_layout": dict(n=10),
+    "unstructured_ell": dict(n=64, k=4),
     "distributed": dict(n=16),
 }
 
