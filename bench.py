@@ -16,18 +16,34 @@ Sections (each guarded — a failure degrades that stanza, never the run):
   general  the stream kernel (ops/pallas_stream.py) on an UNSTRUCTURED
            k-NN-32 graph Laplacian — the torch_scatter execution model
            this framework replaces (reference MatVecGNN.py:43-62) — with
-           an on-chip correctness assert in the same run.
+           an on-chip correctness assert in the same run + a bytes/edge
+           roofline fraction.
+  agg      4-way (min, mean, sum, max) aggregation on an unstructured
+           k-NN graph: EllLayout zero-gather vs scatter segment vs torch
+           scatter_reduce on host CPU (the reference execution model).
+  diffusion learned-GN-block aggregation layouts + a full diffusion
+           train step at reference scale.
+  train    one trainable-Jacobi train step, steady state (reference
+           TrainableJacobiDiag/train.py:99-128).
+  sharded  Mosaic-compiles the SHARDED kernel bodies on the real chip.
   solvers  composed two-grid cycles end-to-end: generic COO vcycle, DIA
            vcycle, all-stencil StencilVCycle, GeometricVCycle, AMG-PCG
            iterations to 1e-8 (reference driver loop VCycle.py:239-277),
            and AMG setup time at >= 1M rows.
-  train    one trainable-Jacobi train step, steady state (reference
-           TrainableJacobiDiag/train.py:99-128).
+  convergence  per-cycle convergence factor vs problem size.
+  spmm     multi-RHS stream SpMM (budget-gated: minutes of Mosaic
+           compile).
+  bsr      the dense-block MXU layout, kept as the evidence-based loser.
 
-Prints exactly ONE JSON line on stdout:
+Robustness (round 5): the cumulative JSON line is (re)printed after
+EVERY section and on SIGTERM — the driver parses the last line, so a
+timeout keeps all completed stanzas. GNNLA_BENCH_BUDGET_S (default 3000)
+skips sections whose wall-clock estimate no longer fits.
+
+Prints cumulative JSON lines on stdout (last-write-wins):
   {"metric": "spmv_edges_per_s", "value": ..., "unit": "edges/s",
    "vs_baseline": ..., "extra": {<per-section numbers>}}
-Section selection: GNNLA_BENCH_SECTIONS=spmv,general,solvers,train (env).
+Section selection: GNNLA_BENCH_SECTIONS (default all of the above).
 
 Backend notes (axon/tunneled TPU), learned the hard way:
   * the first device->host transfer of a process can cost minutes — timing
