@@ -24,7 +24,9 @@ import sys
 import pytest
 
 NPROC = 2
-_TIMEOUT_S = 600
+# generous: the run takes ~13 s alone, but under full-suite contention on
+# a 2-vCPU host the two workers (4 forced devices each) can take minutes
+_TIMEOUT_S = 1500
 
 
 def _free_port() -> int:
