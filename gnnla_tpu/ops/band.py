@@ -516,6 +516,11 @@ class EllPattern:
         return ell_global_multi(reduces, e, self.deg, self.n_edges)
 
 
+# cap on ELL slot count (K_max * N): 2^28 slots = 1 GiB of f32 per edge
+# feature — beyond this a degree-skewed pattern must not silently OOM
+ELL_MAX_SLOTS = 1 << 28
+
+
 def choose_edge_layout(op: SparseOperator, grid_shape=None):
     """Pick the cheapest zero-gather edge layout for a fixed pattern.
 
@@ -550,6 +555,16 @@ def choose_edge_layout(op: SparseOperator, grid_shape=None):
     if n_offsets <= 4 * max_deg:
         lay = BandLayout(op)
         return lay, BandPattern.from_layout(lay), "band"
+    # ELL memory is K_max x N slots; a single hub row on a degree-skewed
+    # graph would blow it up. Fail loudly with guidance instead of OOMing.
+    if max_deg * op.n_rows > ELL_MAX_SLOTS:
+        raise ValueError(
+            f"ELL layout would allocate {max_deg} x {op.n_rows} = "
+            f"{max_deg * op.n_rows:.2e} slots for {op.nnz} edges (max "
+            f"row degree {max_deg} dominates). This degree-skewed "
+            "pattern has no zero-gather layout here yet — run the "
+            "edge-order path (ops.segment / make_edge_aggregator), or "
+            "split the hub rows before building the layout.")
     lay = EllLayout(rows, cols, op.n_rows)
     return lay, EllPattern.from_layout(lay), "ell"
 

@@ -175,3 +175,19 @@ def test_diffusion_gnn_ell_path_matches_edge_order():
     out_ell = model.apply(params, pat, st_ell)
     np.testing.assert_allclose(np.asarray(out_ell), np.asarray(out_edge),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_choose_edge_layout_rejects_degree_skew(monkeypatch):
+    """A hub-dominated pattern must fail loudly with guidance instead of
+    allocating a K_max x N slot array (memory safety guard)."""
+    import gnnla_tpu.ops.band as band_mod
+
+    n = 512
+    r2, c2, _ = _random_graph(n, 6, 17)     # unstructured bulk (many
+    hub_cols = np.arange(1, 101)            # offsets) + one degree-100 hub
+    rows = np.concatenate([np.zeros(100, np.int64), r2[r2 > 0]])
+    cols = np.concatenate([hub_cols, c2[r2 > 0]])
+    op = SparseOperator.from_coo(rows, cols, np.ones(rows.size), (n, n))
+    monkeypatch.setattr(band_mod, "ELL_MAX_SLOTS", 10_000)
+    with pytest.raises(ValueError, match="degree-skewed"):
+        band_mod.choose_edge_layout(op)
