@@ -576,7 +576,26 @@ def bench_bsr(A, eps, extra: dict):
         f"(stream = {eps / max(eps_b, 1e-30):.1f}x faster)")
 
 
-def bench_agg_unstructured(extra: dict, n: int = 1 << 18, k: int = 32):
+def build_agg_fixture(n: int = 1 << 18, k: int = 32):
+    """Host-only build of the unstructured aggregation fixture (k-NN
+    edges + EllLayout pack plan) — overlappable with the d2h warmup."""
+    from gnnla_tpu.ops.band import EllLayout
+
+    t0 = time.perf_counter()
+    lap = knn_laplacian(n, k=k).tocoo()
+    off = lap.row != lap.col
+    rows = np.ascontiguousarray(lap.row[off])
+    cols = np.ascontiguousarray(lap.col[off])
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    lay = EllLayout(rows, cols, n)
+    log(f"agg fixture:     k-NN-{k} n={n} E={rows.size} K={lay.k} "
+        f"(slot fill {rows.size / (lay.k * n):.2f}, "
+        f"{time.perf_counter() - t0:.1f}s)")
+    return n, rows, cols, lay
+
+
+def bench_agg_unstructured(extra: dict, fixture=None):
     """4-way (min, mean, sum, max) edge->vertex aggregation on an
     UNSTRUCTURED k-NN graph — the torch_scatter workload of the learned
     models on meshfree patterns (VERDICT r4 missing #1; reference
@@ -588,24 +607,16 @@ def bench_agg_unstructured(extra: dict, n: int = 1 << 18, k: int = 32):
     Parity between ell and segment asserted on-device in the same run."""
     import jax.numpy as jnp
 
-    from gnnla_tpu.ops.band import EllLayout, ell_multi_reduce
+    from gnnla_tpu.ops.band import ell_multi_reduce
     from gnnla_tpu.ops.segment import multi_segment_reduce
 
     AGGS = ("min", "mean", "sum", "max")
-    t0 = time.perf_counter()
-    lap = knn_laplacian(n, k=k).tocoo()
-    off = lap.row != lap.col
-    rows = np.ascontiguousarray(lap.row[off])
-    cols = np.ascontiguousarray(lap.col[off])
-    order = np.lexsort((cols, rows))
-    rows, cols = rows[order], cols[order]
+    if fixture is None:
+        fixture = build_agg_fixture()
+    n, rows, cols, lay = fixture
     E = rows.size
     rng = np.random.default_rng(1)
     v_h = rng.standard_normal(E).astype(np.float32)
-    lay = EllLayout(rows, cols, n)
-    log(f"agg fixture:     k-NN-{k} n={n} E={E} K={lay.k} "
-        f"(slot fill {E / (lay.k * n):.2f}, "
-        f"{time.perf_counter() - t0:.1f}s)")
     extra["agg4_unstructured_n"] = int(n)
     extra["agg4_unstructured_edges"] = int(E)
     extra["agg4_unstructured_k_slots"] = int(lay.k)
@@ -1186,12 +1197,18 @@ def main():
     warmup = threading.Thread(target=_warmup)
     warmup.start()
     prebuilt_A = None
+    prebuilt_agg = None
     n_general = min(1 << 20, max(1 << 14, n_grid * n_grid // 4))
-    if {"general", "agg", "spmm", "bsr"} & set(sections):
+    if {"general", "spmm", "bsr"} & set(sections):
         try:
             prebuilt_A = build_general_fixture(n_general, extra)
         except Exception as e:
             log(f"fixture prebuild FAILED: {type(e).__name__}: {e}")
+    if "agg" in sections:
+        try:
+            prebuilt_agg = build_agg_fixture()
+        except Exception as e:
+            log(f"agg fixture prebuild FAILED: {type(e).__name__}: {e}")
     warmup.join()
     wdt = time.perf_counter() - t_start
     extra["warmup_seconds"] = wdt
@@ -1228,7 +1245,8 @@ def main():
 
     run_section("spmv", _spmv)
     run_section("general", _general)
-    run_section("agg", lambda: bench_agg_unstructured(extra))
+    run_section("agg",
+                lambda: bench_agg_unstructured(extra, fixture=prebuilt_agg))
     run_section("diffusion",
                 lambda: bench_diffusion(extra, n_agg=min(1024, n_grid)))
     run_section("train", lambda: bench_train(extra))
