@@ -747,6 +747,20 @@ def bench_solvers(n_grid: int, extra: dict):
         log(f"vcycle (DIA) unavailable: {type(e).__name__}: {e}")
         setup_d = setup
 
+    # round-5 fast config: both levels on the Pallas DIA kernel, P/P^T on
+    # the square-embedded stream kernel (measured 115.6 -> 9.1 ms/cycle)
+    try:
+        from gnnla_tpu.models import setup_with_stream_p
+        setup_f = setup_with_stream_p(setup_with_dia(setup, pallas=True))
+        t = _time_cycles(
+            lambda s, bb, xx: solve(s, bb, xx, n_cycles=n_cyc),
+            setup_f, b, x0, n_cyc, n_chain=6)
+        extra["vcycle_dia_pallas_stream_ms"] = t * 1e3
+        log(f"vcycle (Pallas DIA + stream P): {t * 1e3:.2f} ms/cycle")
+    except Exception as e:
+        log(f"vcycle (Pallas DIA + stream P) unavailable: "
+            f"{type(e).__name__}: {e}")
+
     try:
         sv = make_stencil_vcycle(setup, (n_grid, n_grid))
 

@@ -10,7 +10,8 @@ from gnnla_tpu.models.direct_interp import direct_interp
 from gnnla_tpu.models.geometric import (GeometricVCycle,
     make_geometric_vcycle)
 from gnnla_tpu.models.vcycle import (TwoGridSetup, setup_twogrid,
-    setup_with_dia, setup_with_stream, setup_auto, AutoTwoGrid,
+    setup_with_dia, setup_with_stream, setup_with_stream_p,
+    setup_auto, AutoTwoGrid,
     vcycle, solve, StencilVCycle,
     make_stencil_vcycle)
 from gnnla_tpu.models.multigrid import (MultigridSetup, setup_multigrid,
@@ -28,7 +29,7 @@ __all__ = [
     "soc_classic", "soc_sa", "soc_classic_blocks",
     "direct_interp",
     "TwoGridSetup", "setup_twogrid", "setup_with_dia",
-    "setup_with_stream", "setup_auto", "AutoTwoGrid", "vcycle", "solve",
+    "setup_with_stream", "setup_with_stream_p", "setup_auto", "AutoTwoGrid", "vcycle", "solve",
     "StencilVCycle", "make_stencil_vcycle",
     "GeometricVCycle", "make_geometric_vcycle",
     "cg", "amg_pcg", "mg_pcg",

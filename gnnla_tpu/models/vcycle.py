@@ -182,26 +182,66 @@ def setup_twogrid(A: SparseOperator, *, theta: float = 0.25,
                         coarse_flags=jnp.asarray(coarse))
 
 
-def setup_with_dia(setup: TwoGridSetup,
-                   max_offsets: int = 512) -> TwoGridSetup:
+def setup_with_dia(setup: TwoGridSetup, max_offsets: int = 512,
+                   pallas: bool = False) -> TwoGridSetup:
     """Swap A (and Ac when banded enough) for DIA twins — the TPU fast
     path. Every kernel the cycle calls uses only the matvec/diagonal
     protocol, which `DIAOperator` satisfies, so the same `vcycle` runs
     unchanged ~2 orders of magnitude faster on structured operators
     (DIA = shifted contiguous reads vs the COO gather/scatter path; see
-    ops/dia.py and bench.py). P stays COO (rectangular, needs rmatvec)."""
-    from gnnla_tpu.ops.dia import to_dia
+    ops/dia.py and bench.py). P stays COO (rectangular, needs rmatvec).
+
+    `pallas=True` additionally wraps both levels in the fused Pallas DIA
+    kernel (`ops.pallas_spmv.pallas_dia_operator`, ~6x the XLA shift
+    path): the coarse-level Chebyshev applies and the smoothing sweeps
+    dominate a cycle, so this is the fastest general two-grid config
+    (bench.py `vcycle_dia_pallas_ms`)."""
+    from gnnla_tpu.ops.dia import DIAOperator, to_dia
 
     def try_dia(op):
-        if not isinstance(op, SparseOperator):
-            return op  # already DIA
-        try:
-            return to_dia(op, max_offsets)
-        except ValueError:
-            return op  # too irregular — keep the gather path
+        if isinstance(op, SparseOperator):
+            try:
+                op = to_dia(op, max_offsets)
+            except ValueError:
+                return op  # too irregular — keep the gather path
+        if pallas and isinstance(op, DIAOperator):
+            from gnnla_tpu.ops.pallas_spmv import pallas_dia_operator
+            try:
+                op = pallas_dia_operator(op)
+            except ValueError:
+                pass  # too wide for VMEM — keep the XLA shift path
+        return op
 
     return dataclasses.replace(setup, A=try_dia(setup.A),
                                Ac=try_dia(setup.Ac))
+
+
+def setup_with_stream_p(setup: TwoGridSetup, *, nb: int = 32,
+                        kb: Optional[int] = None, backend: str = "pallas",
+                        interpret: bool = False) -> TwoGridSetup:
+    """Swap the prolongation P for its stream-kernel twin (square
+    embedding, ops/stream_op.py::RectStreamOperator). Once A and Ac run
+    on the Pallas DIA path (`setup_with_dia(..., pallas=True)`), the two
+    COO P/P^T applies dominate a cycle (~36 ms each at 1M rows); the
+    stream twin runs them at kernel speed. Falls back unchanged when the
+    pattern's column windows are too diffuse for the packer (ValueError),
+    so composing with any setup is safe. Numerics identical (same edges,
+    same sums; parity-tested in tests/test_stream.py)."""
+    from gnnla_tpu.ops.stream_op import rect_stream_operator
+
+    P = setup.P
+    if not isinstance(P, SparseOperator):
+        return setup  # already swapped
+    n, nc = P.shape
+    rows, cols, vals = P.host_coo()
+    Psq = SparseOperator.from_coo(np.asarray(rows), np.asarray(cols),
+                                  np.asarray(vals), (n, n))
+    try:
+        P_s = rect_stream_operator(Psq, nc, nb=nb, kb=kb, backend=backend,
+                                   interpret=interpret)
+    except ValueError:
+        return setup  # diffuse windows — keep the COO path
+    return dataclasses.replace(setup, P=P_s)
 
 
 def setup_with_stream(setup: TwoGridSetup, *, nb: int = 32,

@@ -23,6 +23,9 @@ structural zeros at band boundaries, so off-band reads multiply by zero.
 
 from __future__ import annotations
 
+import dataclasses
+from typing import Callable, Tuple
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -119,6 +122,12 @@ def _build_padded_call(dia: DIAOperator, tile: int, diag_dtype=None):
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            # wide-K operators (Galerkin coarse grids, K in the
+            # hundreds) need more than Mosaic's 16 MB default scoped
+            # budget for the pipelined diagonal window; v5e has 128 MB
+            # physical VMEM (same setting as ops/pallas_stencil.py)
+            vmem_limit_bytes=127 * 1024 * 1024),
     )
     return call, diags, tile, n_pad, total
 
@@ -228,3 +237,88 @@ def make_dia_spmv_padded(dia: DIAOperator, tile: int = 128 * 1024,
 def make_dia_spmv(dia: DIAOperator, tile: int = 128 * 1024):
     """Returns y = A @ x on plain [n] vectors (single-shot convenience)."""
     return PallasDiaSpMV(dia, tile).matvec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PallasDiaOperator:
+    """DIA operator backed by the fused Pallas kernel, as a PYTREE
+    satisfying the matvec/diagonal protocol the solver compositions
+    consume (models.jacobi/chebyshev/residual, models.vcycle) — so
+    `setup_with_dia(..., pallas=True)` swaps it straight into a cycle.
+
+    The XLA shift path (`DIAOperator.matvec`) runs at ~1.8e10 edges/s;
+    this kernel at ~1.1e11 (bench.py `spmv` stanza). Inside a V-cycle the
+    coarse-level Chebyshev applies and the smoothing sweeps dominate, so
+    the swap cuts the measured cycle time ~3-5x at 1M rows (PERF.md).
+
+    Leaves: `op_args` (the (diags, diags_T) streams) and `diag` (the [n]
+    matrix diagonal for Jacobi smoothing). The pallas_call is a static
+    field; per-matvec pad/slice costs two [n] copies, noise next to the
+    K*n stream.
+    """
+
+    op_args: Tuple[jax.Array, jax.Array]
+    diag: jax.Array
+    apply_fn: Callable = dataclasses.field(metadata=dict(static=True))
+    tile: int = dataclasses.field(metadata=dict(static=True))
+    total: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.n
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    def matvec(self, x):
+        if x.ndim > 1:
+            raise ValueError("PallasDiaOperator matvec is vector-only")
+        x_pad = jnp.zeros((self.total,), x.dtype).at[
+            self.tile:self.tile + self.n].set(x)
+        y_pad = self.apply_fn(self.op_args, x_pad)
+        return y_pad[self.tile:self.tile + self.n]
+
+    def __matmul__(self, x):
+        return self.matvec(x)
+
+    def diagonal(self):
+        return self.diag
+
+
+def fit_dia_tile(dia: DIAOperator, tile: int = 128 * 1024,
+                 diag_dtype=None, vmem_budget: int = 96 * 1024 * 1024
+                 ) -> int:
+    """Largest tile (multiple of 1024, <= `tile`) whose VMEM working set
+    fits: the grid-pipelined diagonal window is double-buffered
+    (2 * K * tile * itemsize), plus the two x windows and the y tile.
+    Wide-K operators (e.g. Galerkin coarse grids, K in the hundreds)
+    would otherwise fail the Mosaic allocation check at the default
+    128k tile. Raises ValueError when even the minimum tile overflows."""
+    k = len(dia.offsets)
+    isz = jnp.dtype(diag_dtype or dia.diags.dtype).itemsize
+    halo = _round_up(max(1, max(abs(o) for o in dia.offsets)), 1024)
+    t = _round_up(min(tile, _round_up(max(dia.n, halo), 1024)), 1024)
+    while t >= 1024:
+        win = t + 2 * halo
+        need = 2 * k * t * isz + 2 * win * 4 + t * 4
+        if need <= vmem_budget:
+            return t
+        t //= 2
+    raise ValueError(
+        f"DIA operator too wide for the Pallas kernel: K={k} offsets, "
+        f"halo {halo} — even a 1024 tile overflows VMEM")
+
+
+def pallas_dia_operator(dia: DIAOperator, tile: int = 128 * 1024,
+                        diag_dtype=None) -> PallasDiaOperator:
+    """Wrap a DIAOperator in the fused Pallas kernel (solver protocol).
+    The tile auto-shrinks for wide-K operators (see `fit_dia_tile`)."""
+    tile = fit_dia_tile(dia, tile, diag_dtype)
+    mv = PallasDiaSpMV(dia, tile, diag_dtype)
+    return PallasDiaOperator(op_args=mv.op_args, diag=dia.diagonal(),
+                             apply_fn=mv.apply, tile=mv.tile,
+                             total=mv.total, n=mv.n, nnz=mv.nnz)
